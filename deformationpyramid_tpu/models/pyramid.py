@@ -1,0 +1,192 @@
+"""Neural Deformation Pyramid — TPU-native model core.
+
+Re-design of the reference ``Deformation_Pyramid``/``NDPLayer``
+(``/root/reference/model/nets.py:10-183``). Instead of m separate ``nn.Module``
+objects, all m levels' parameters are **stacked along a leading level axis**,
+so a single compiled program (indexing the stack) serves every level of the
+coarse-to-fine loop — no per-level retracing, and ``lax.scan`` composes the
+full warp.
+
+Behavioral parity notes (things that look like bugs but are load-bearing):
+* posenc uses a single frequency ``2**(level+1+k0)`` — the reference defines
+  ``pi = 3.14`` but does NOT multiply it in (``nets.py:164-177``).
+* every head's output is scaled by ``mlp_scale = 0.001`` so optimization
+  starts near the identity warp (``nets.py:107,117,125,133``).
+* Sim3 scale is ``0.001 * s + 1`` (``nets.py:125``).
+* nonrigidity gating ``x' = x + nr * (x_warp - x)`` is active only when
+  ``w_reg > 0`` and level > 0 (``nets.py:27,132-134``).
+* level-0 layer has no nonrigidity branch in the reference; here the branch
+  params exist at every level (homogeneous stacking) but level 0 is gated off,
+  so its nr params are unused and receive zero gradient.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import rotations as rot
+
+Array = jax.Array
+
+ROTATION_DIMS = {"euler": 3, "axis_angle": 3, "quaternion": 4, "6D": 6}
+MOTIONS = ("SE3", "Sim3", "sflow")
+
+
+@dataclasses.dataclass(frozen=True)
+class NDPConfig:
+    """Static pyramid hyperparameters (reference ``config/NDP.yaml``)."""
+
+    m: int = 9                # number of pyramid levels
+    k0: int = -8              # base log2 frequency offset
+    depth: int = 3            # MLP depth (1 input layer + depth-1 hidden)
+    width: int = 128
+    rotation_format: str = "axis_angle"
+    motion: str = "SE3"
+    nonrigidity_est: bool = False
+    mlp_scale: float = 1e-3
+
+    def __post_init__(self):
+        assert self.motion in MOTIONS, self.motion
+        assert self.rotation_format in ROTATION_DIMS, self.rotation_format
+
+    @property
+    def rot_dim(self) -> int:
+        return ROTATION_DIMS[self.rotation_format]
+
+
+def _linear_init(key: Array, shape_w: tuple[int, ...], fan_in: int, fan_out: int):
+    """Xavier-uniform weight + torch-default uniform bias.
+
+    Mirrors the reference init: xavier_uniform_ on every weight matrix
+    (``nets.py:180-183``) while biases keep the torch ``nn.Linear`` default
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+    """
+    kw, kb = jax.random.split(key)
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    w = jax.random.uniform(kw, shape_w, jnp.float32, -limit, limit)
+    b_limit = 1.0 / jnp.sqrt(fan_in)
+    b = jax.random.uniform(kb, shape_w[:-2] + (shape_w[-1],), jnp.float32,
+                           -b_limit, b_limit)
+    return {"w": w, "b": b}
+
+
+def init_pyramid_params(key: Array, cfg: NDPConfig) -> dict[str, Any]:
+    """Initialize stacked parameters for all m levels: leaves are [m, ...]."""
+    m, w, d = cfg.m, cfg.width, cfg.depth
+    n_hidden = max(d - 1, 0)
+    keys = jax.random.split(key, 6)
+    params = {
+        "input": _linear_init(keys[0], (m, 6, w), 6, w),
+        "hidden": _linear_init(keys[1], (m, n_hidden, w, w), w, w),
+        "trn": _linear_init(keys[2], (m, w, 3), w, 3),
+    }
+    if cfg.motion in ("SE3", "Sim3"):
+        params["rot"] = _linear_init(keys[3], (m, w, cfg.rot_dim), w, cfg.rot_dim)
+    if cfg.motion == "Sim3":
+        params["scale"] = _linear_init(keys[4], (m, w, 1), w, 1)
+    if cfg.nonrigidity_est:
+        params["nr"] = _linear_init(keys[5], (m, w, 1), w, 1)
+    return params
+
+
+def level_params(params: dict[str, Any], level: Array | int) -> dict[str, Any]:
+    """Slice one level out of the stacked params (dynamic index OK)."""
+    return jax.tree.map(lambda p: jax.lax.dynamic_index_in_dim(p, level, 0, keepdims=False), params)
+
+
+def posenc(x: Array, level: Array | int, k0: int) -> Array:
+    """Single-frequency sin/cos encoding, freq = 2**(level+1+k0).
+
+    Feature order [sin x, cos x, sin y, cos y, sin z, cos z] matches the
+    reference (``nets.py:164-177``) for checkpoint-porting compatibility.
+    """
+    freq = jnp.exp2(jnp.asarray(level, jnp.float32) + 1.0 + k0)
+    s, c = jnp.sin(x * freq), jnp.cos(x * freq)
+    return jnp.stack([s[..., 0], c[..., 0], s[..., 1], c[..., 1], s[..., 2], c[..., 2]], axis=-1)
+
+
+def _head(fea: Array, p: dict[str, Array]) -> Array:
+    return fea @ p["w"] + p["b"]
+
+
+def level_features(p: dict[str, Any], x: Array, level: Array | int, cfg: NDPConfig) -> Array:
+    """Shared trunk: posenc -> input linear+ReLU -> hidden MLP."""
+    fea = posenc(x, level, cfg.k0)
+    fea = jax.nn.relu(_head(fea, p["input"]))
+
+    def hidden_step(h, lp):
+        return jax.nn.relu(h @ lp["w"] + lp["b"]), None
+
+    if cfg.depth > 1:
+        fea, _ = jax.lax.scan(hidden_step, fea, p["hidden"])
+    return fea
+
+
+def rotation_from_features(r: Array, fmt: str) -> Array:
+    """Head output [..., rot_dim] (already mlp_scaled) -> [..., 3, 3]."""
+    if fmt == "euler":
+        return rot.euler_to_SO3(r)
+    if fmt == "axis_angle":
+        return rot.axis_angle_to_SO3(r)
+    if fmt == "quaternion":
+        return rot.quaternion_to_SO3(rot.normalize_quaternion(r))
+    if fmt == "6D":
+        return rot.sixd_to_SO3(r)
+    raise ValueError(fmt)
+
+
+def level_warp(p: dict[str, Any], x: Array, level: Array | int,
+               cfg: NDPConfig) -> tuple[Array, Array | None]:
+    """Warp points [N, 3] through a single pyramid level.
+
+    Returns (warped [N, 3], nonrigidity [N] or None). Mirrors
+    ``NDPLayer.forward`` (``nets.py:111-140``).
+    """
+    fea = level_features(p, x, level, cfg)
+    t = cfg.mlp_scale * _head(fea, p["trn"])
+
+    if cfg.motion == "sflow":
+        x_ = x + t
+    else:
+        R = rotation_from_features(cfg.mlp_scale * _head(fea, p["rot"]), cfg.rotation_format)
+        x_ = rot.apply_rotation(R, x) + t
+        if cfg.motion == "Sim3":
+            s = cfg.mlp_scale * _head(fea, p["scale"]) + 1.0
+            x_ = s * rot.apply_rotation(R, x) + t
+
+    nonrigidity = None
+    if cfg.nonrigidity_est:
+        nr = jax.nn.sigmoid(cfg.mlp_scale * _head(fea, p["nr"]))[..., 0]
+        # Level 0 never gates (reference constructs it without the branch).
+        gate_on = jnp.asarray(level, jnp.int32) > 0
+        x_gated = x + nr[..., None] * (x_ - x)
+        x_ = jnp.where(gate_on, x_gated, x_)
+        nonrigidity = jnp.where(gate_on, nr, jnp.ones_like(nr))
+    return x_, nonrigidity
+
+
+def warp(params: dict[str, Any], x: Array, cfg: NDPConfig,
+         max_level: int | None = None, min_level: int = 0) -> tuple[Array, Array | None]:
+    """Compose warps of levels [min_level, max_level] sequentially.
+
+    Mirrors ``Deformation_Pyramid.warp`` (``nets.py:36-48``); returns the
+    final points and the last level's nonrigidity map.
+    """
+    if max_level is None:
+        max_level = cfg.m - 1
+    assert max_level < cfg.m
+
+    levels = jnp.arange(min_level, max_level + 1)
+    sliced = jax.tree.map(lambda p: p[min_level:max_level + 1], params)
+
+    def step(carry, inp):
+        lvl_p, lvl = inp
+        x_, nr = level_warp(lvl_p, carry, lvl, cfg)
+        return x_, nr
+
+    out, nrs = jax.lax.scan(step, x, (sliced, levels))
+    last_nr = None if nrs is None or not cfg.nonrigidity_est else nrs[-1]
+    return out, last_nr

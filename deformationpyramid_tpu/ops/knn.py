@@ -1,0 +1,174 @@
+"""Nearest-neighbor ops: tiled Pallas 1-NN and pure-XLA fallbacks.
+
+This replaces the reference's pytorch3d ``knn_points`` CUDA kernel
+(``/root/reference/model/loss.py:4,177-181``) with TPU-native code. The key
+design decision: the hot path (Chamfer inside the per-pair Adam loop) only
+needs the *index* of the nearest neighbor — the differentiable distance is
+recomputed from gathered points (see ``ops/chamfer.py``). So the N x M sweep
+is a pure integer-output kernel with no VJP, and fwd+bwd of the loss are O(N).
+
+The Pallas kernel streams tiles of the (N, M) squared-distance matrix through
+VMEM with a running (min, argmin) carry — flash-attention-style streaming min,
+never materializing N^2 in HBM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU builds; keep module importable on CPU.
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+Array = jax.Array
+
+_BIG = 3.0e38  # python float: safe to close over inside pallas kernels
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA reference / fallback
+# ---------------------------------------------------------------------------
+
+def nn_argmin_xla(x: Array, y: Array, y_valid: Array | None = None) -> tuple[Array, Array]:
+    """1-NN of each row of ``x`` [N, D] in ``y`` [M, D].
+
+    Returns (sq_dist [N], idx [N]). ``y_valid`` optionally masks padded rows
+    of ``y`` out of the search (True = valid).
+    """
+    # ||x - y||^2 = |x|^2 + |y|^2 - 2 x.y ; the matmul rides the MXU.
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [N, 1]
+    y2 = jnp.sum(y * y, axis=-1)  # [M]
+    d = x2 + y2[None, :] - 2.0 * jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if y_valid is not None:
+        d = jnp.where(y_valid[None, :], d, _BIG)
+    idx = jnp.argmin(d, axis=-1)
+    sq = jnp.take_along_axis(d, idx[:, None], axis=-1)[:, 0]
+    # Exact-zero clamp: cancellation can leave tiny negatives.
+    return jnp.maximum(sq, 0.0), idx
+
+
+# ---------------------------------------------------------------------------
+# Pallas streaming kernel
+# ---------------------------------------------------------------------------
+
+def _nn_kernel(x_ref, y_ref, y2_ref, dist_ref, idx_ref, *, tm: int, m_pad: int):
+    """One x-tile vs all y-tiles with a running (min, argmin) carry.
+
+    x_ref: [TN, D] VMEM tile of queries.
+    y_ref: [M_pad, D] full database in VMEM (point clouds are small: 30k x 3
+        f32 = 360 KB, far under the ~16 MB VMEM budget).
+    y2_ref: [1, M_pad] precomputed squared norms; padded entries hold +BIG so
+        padded rows never win the min.
+    """
+    x = x_ref[:]  # [TN, D]
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [TN, 1]
+    n_tiles = m_pad // tm
+
+    def body(j, carry):
+        best_d, best_i = carry  # [TN, 1] each
+        y_tile = y_ref[pl.ds(j * tm, tm), :]  # [TM, D]
+        y2_tile = y2_ref[0, pl.ds(j * tm, tm)]  # [TM]
+        # [TN, TM] tile of squared distances (MXU matmul + VPU adds).
+        d = x2 + y2_tile[None, :] - 2.0 * jax.lax.dot_general(
+            x, y_tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        tile_min = jnp.min(d, axis=-1, keepdims=True)  # [TN, 1]
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + j * tm
+        tile_arg = jnp.min(
+            jnp.where(d <= tile_min, cols, jnp.int32(2**30)),
+            axis=-1,
+            keepdims=True,
+        )
+        better = tile_min < best_d
+        return jnp.where(better, tile_min, best_d), jnp.where(better, tile_arg, best_i)
+
+    tn = x.shape[0]
+    init = (jnp.full((tn, 1), _BIG, jnp.float32), jnp.zeros((tn, 1), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n_tiles, body, init)
+    dist_ref[:] = jnp.maximum(best_d, 0.0)
+    idx_ref[:] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "tm"))
+def _nn_argmin_pallas_padded(x_pad: Array, y_pad: Array, y2_pad: Array,
+                             tn: int = 256, tm: int = 512) -> tuple[Array, Array]:
+    n_pad, d = x_pad.shape
+    m_pad = y_pad.shape[0]
+    kernel = functools.partial(_nn_kernel, tm=tm, m_pad=m_pad)
+    grid = (n_pad // tn,)
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * (d + 2),
+            bytes_accessed=(n_pad * d + m_pad * d + 2 * n_pad) * 4,
+            transcendentals=0,
+        ),
+    )(x_pad, y_pad, y2_pad)
+    return dist[:, 0], idx[:, 0]
+
+
+def nn_argmin_pallas(x: Array, y: Array, y_valid: Array | None = None,
+                     tn: int = 256, tm: int = 512) -> tuple[Array, Array]:
+    """Pallas-backed 1-NN. Same contract as :func:`nn_argmin_xla`."""
+    n, d = x.shape
+    m = y.shape[0]
+    n_pad = _round_up(max(n, tn), tn)
+    m_pad = _round_up(max(m, tm), tm)
+    x_pad = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(x.astype(jnp.float32))
+    y_pad = jnp.zeros((m_pad, d), jnp.float32).at[:m].set(y.astype(jnp.float32))
+    y2 = jnp.sum(y_pad * y_pad, axis=-1)
+    valid = jnp.arange(m_pad) < m
+    if y_valid is not None:
+        valid = valid & jnp.pad(y_valid, (0, m_pad - m), constant_values=False)
+    y2 = jnp.where(valid, y2, _BIG)[None, :]
+    dist, idx = _nn_argmin_pallas_padded(x_pad, y_pad, y2, tn=tn, tm=tm)
+    return dist[:n], idx[:n]
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def nn_argmin(x: Array, y: Array, y_valid: Array | None = None,
+              use_pallas: bool | None = None) -> tuple[Array, Array]:
+    """Dispatch to the Pallas kernel on TPU, XLA elsewhere.
+
+    ``use_pallas=None`` auto-selects: Pallas on TPU for database sizes where
+    streaming beats one fused XLA matmul+argmin.
+    """
+    if use_pallas is None:
+        use_pallas = _HAS_PLTPU and on_tpu() and (x.shape[0] * y.shape[0] >= 4096 * 4096)
+    if use_pallas:
+        return nn_argmin_pallas(x, y, y_valid)
+    return nn_argmin_xla(x, y, y_valid)

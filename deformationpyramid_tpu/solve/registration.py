@@ -1,0 +1,251 @@
+"""Per-pair test-time-optimization registration engine, fully compiled.
+
+Re-design of the reference ``Registration.optimize_deformation_pyramid``
+(``/root/reference/model/registration.py:126-262``). The reference runs a
+Python loop with a host sync (``loss.item()``) every iteration; here the
+ENTIRE registration — m sequential levels, each a fresh-Adam inner loop with
+3-way early stopping — compiles into one XLA program:
+
+* inner loop  -> ``lax.while_loop`` carrying (params, opt state, plateau
+  counter, prev loss, last warped points),
+* level loop  -> ``lax.scan`` over the stacked level parameters,
+* batching    -> ``jax.vmap`` (the while_loop batching rule yields per-pair
+  convergence masks automatically: a pair that converged early stops paying
+  compute-updates while laggards finish).
+
+Early-stop semantics preserved exactly (``registration.py:226-232``):
+  1. loss < loss_eps (1e-4)                                  -> break, no step
+  2. |loss_prev - loss| < loss_prev * break_threshold_ratio  -> counter += 1
+  3. counter >= max_break_count                              -> break, no step
+and the points handed to the next level are the warp evaluated *before* the
+final optimizer step of the level (the reference breaks/ends after evaluating
+but before stepping — ``registration.py:241-249``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.pyramid import NDPConfig, init_pyramid_params, level_warp, warp
+from ..ops.chamfer import truncated_chamfer
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Reference ``config/NDP.yaml`` knobs + pyramid config."""
+
+    pyramid: NDPConfig = dataclasses.field(default_factory=NDPConfig)
+    iters: int = 500
+    lr: float = 0.01
+    max_break_count: int = 15
+    break_threshold_ratio: float = 0.001
+    samples: int = 2000
+    w_reg: float = 0.0
+    w_ldmk: float = 0.0
+    w_cd: float = 0.0        # chamfer weight in landmark mode
+    trunc_cd: float = 0.25   # chamfer truncation in landmark mode (squared)
+    loss_eps: float = 1e-4
+    use_pallas: bool | None = None
+
+
+def _bce_zeros(p: Array, valid: Array | None = None) -> Array:
+    """BCE(p, target=0) = -mean(log(1-p)), torch-style -100 clamp."""
+    log1mp = jnp.maximum(jnp.log1p(-p), -100.0)
+    if valid is None:
+        return -jnp.mean(log1mp)
+    return -jnp.sum(jnp.where(valid, log1mp, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
+                 t_sample: Array, t_valid: Array, n_ldmk: int,
+                 tgt_ldmk: Array | None, ldmk_valid: Array | None,
+                 cfg: SolverConfig) -> tuple[dict, Array, dict[str, Array]]:
+    """Adam-optimize one pyramid level on ``pts`` (sampled source points).
+
+    In landmark mode ``pts`` is [ldmk ; sample] (reference
+    ``registration.py:187-203``); ``n_ldmk`` is the static padded landmark
+    count (0 = pure chamfer mode).
+
+    Returns (updated level params, warped pts from last evaluation, stats).
+    """
+    pcfg = cfg.pyramid
+    opt = optax.adam(cfg.lr)
+
+    def loss_fn(p):
+        warped, nr = level_warp(p, pts, lvl, pcfg)
+        if n_ldmk > 0:
+            w_ldmk = warped[:n_ldmk]
+            sq = jnp.sum((w_ldmk - tgt_ldmk) ** 2, axis=-1)
+            loss = jnp.sum(jnp.where(ldmk_valid, sq, 0.0)) / jnp.maximum(
+                jnp.sum(ldmk_valid), 1)
+            if cfg.w_cd > 0:
+                loss = loss + cfg.w_cd * truncated_chamfer(
+                    warped[n_ldmk:], t_sample,
+                    x_valid=pts_valid[n_ldmk:], y_valid=t_valid,
+                    trunc=cfg.trunc_cd, use_pallas=cfg.use_pallas)
+        else:
+            loss = truncated_chamfer(warped, t_sample,
+                                     x_valid=pts_valid, y_valid=t_valid,
+                                     trunc=1e9, use_pallas=cfg.use_pallas)
+        if cfg.w_reg > 0:
+            reg = _bce_zeros(nr, pts_valid)
+            loss = loss + jnp.where(lvl > 0, cfg.w_reg * reg, 0.0)
+        return loss, warped
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def cond(c):
+        return (c["it"] < cfg.iters) & jnp.logical_not(c["done"])
+
+    def body(c):
+        (loss, warped), grads = grad_fn(c["params"])
+        small = loss < cfg.loss_eps
+        plateau = jnp.abs(c["loss_prev"] - loss) < c["loss_prev"] * cfg.break_threshold_ratio
+        counter = c["counter"] + plateau.astype(jnp.int32)
+        done = small | (counter >= cfg.max_break_count)
+        updates, opt_state = opt.update(grads, c["opt_state"], c["params"])
+        new_params = optax.apply_updates(c["params"], updates)
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(done, b, a), new, old)
+        return {
+            "params": keep(new_params, c["params"]),
+            "opt_state": keep(opt_state, c["opt_state"]),
+            "loss_prev": jnp.where(done, c["loss_prev"], loss),
+            "counter": counter,
+            "done": done,
+            "it": c["it"] + 1,
+            "warped": warped,
+            "loss": loss,
+        }
+
+    init = {
+        "params": lvl_params,
+        "opt_state": opt.init(lvl_params),
+        "loss_prev": jnp.float32(1e6),
+        "counter": jnp.int32(0),
+        "done": jnp.bool_(False),
+        "it": jnp.int32(0),
+        "warped": pts,
+        "loss": jnp.float32(jnp.inf),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    stats = {"iters": out["it"], "loss": out["loss"]}
+    return out["params"], out["warped"], stats
+
+
+def _random_subset(key: Array, pts: Array, valid: Array, k: int) -> tuple[Array, Array]:
+    """Random k-subset of the valid rows (jit-safe, fixed output shape).
+
+    Equivalent to the reference's ``randperm[:k]`` (``registration.py:156-159``)
+    generalized to padded clouds: rank rows by random score with invalid rows
+    pushed last; if fewer than k valid rows exist the extras are masked out.
+    """
+    n = pts.shape[0]
+    score = jax.random.uniform(key, (n,))
+    score = jnp.where(valid, score, 2.0)
+    _, idx = jax.lax.top_k(-score, k)
+    return pts[idx], valid[idx]
+
+
+def register_pair(key: Array, src: Array, tgt: Array, cfg: SolverConfig,
+                  src_valid: Array | None = None, tgt_valid: Array | None = None,
+                  src_ldmk: Array | None = None, tgt_ldmk: Array | None = None,
+                  ldmk_valid: Array | None = None,
+                  ) -> tuple[Array, dict[str, Array]]:
+    """Register one (padded) pair; returns (warped full source cloud, stats).
+
+    Pipeline parity with ``optimize_deformation_pyramid``:
+    mean-center both clouds -> random ``samples``-subset -> level-by-level
+    Adam -> final full-cloud warp through all levels -> re-add target mean.
+    """
+    pcfg = cfg.pyramid
+    n_src, n_tgt = src.shape[0], tgt.shape[0]
+    if src_valid is None:
+        src_valid = jnp.ones((n_src,), bool)
+    if tgt_valid is None:
+        tgt_valid = jnp.ones((n_tgt,), bool)
+
+    k_init, k_src, k_tgt = jax.random.split(key, 3)
+    params = init_pyramid_params(k_init, pcfg)
+
+    # Cancel global translation (masked means over real points).
+    src_mean = (jnp.sum(jnp.where(src_valid[:, None], src, 0.0), axis=0)
+                / jnp.maximum(jnp.sum(src_valid), 1))[None]
+    tgt_mean = (jnp.sum(jnp.where(tgt_valid[:, None], tgt, 0.0), axis=0)
+                / jnp.maximum(jnp.sum(tgt_valid), 1))[None]
+    src_c = src - src_mean
+    tgt_c = tgt - tgt_mean
+
+    k = min(cfg.samples, n_src)
+    kt = min(cfg.samples, n_tgt)
+    s_sample, s_valid = _random_subset(k_src, src_c, src_valid, k)
+    t_sample, t_valid = _random_subset(k_tgt, tgt_c, tgt_valid, kt)
+
+    use_ldmk = src_ldmk is not None
+    if use_ldmk:
+        n_ldmk = src_ldmk.shape[0]
+        if ldmk_valid is None:
+            ldmk_valid = jnp.ones((n_ldmk,), bool)
+        src_ldmk_c = src_ldmk - src_mean
+        tgt_ldmk_c = tgt_ldmk - tgt_mean
+        if cfg.w_cd > 0:
+            pts0 = jnp.concatenate([src_ldmk_c, s_sample])
+            pts_valid = jnp.concatenate([ldmk_valid, s_valid])
+        else:
+            pts0, pts_valid = src_ldmk_c, ldmk_valid
+    else:
+        n_ldmk = 0
+        pts0, pts_valid = s_sample, s_valid
+        tgt_ldmk_c = None
+
+    def level_step(pts, inp):
+        lvl_p, lvl = inp
+        new_p, warped, stats = _solve_level(
+            lvl_p, lvl, pts, pts_valid, t_sample, t_valid,
+            n_ldmk, tgt_ldmk_c, ldmk_valid, cfg)
+        return warped, (new_p, stats)
+
+    levels = jnp.arange(pcfg.m)
+    _, (final_params, stats) = jax.lax.scan(level_step, pts0, (params, levels))
+
+    warped_full, _ = warp(final_params, src_c, pcfg)
+    warped_full = warped_full + tgt_mean
+    return warped_full, stats
+
+
+def make_register_fn(cfg: SolverConfig, landmarks: bool = False):
+    """Build a jitted single-pair registration fn (one compile per shape)."""
+    if landmarks:
+        def fn(key, src, tgt, src_ldmk, tgt_ldmk, ldmk_valid,
+               src_valid=None, tgt_valid=None):
+            return register_pair(key, src, tgt, cfg, src_valid, tgt_valid,
+                                 src_ldmk, tgt_ldmk, ldmk_valid)
+    else:
+        def fn(key, src, tgt, src_valid=None, tgt_valid=None):
+            return register_pair(key, src, tgt, cfg, src_valid, tgt_valid)
+    return jax.jit(fn)
+
+
+def register_batch(keys: Array, src: Array, tgt: Array, cfg: SolverConfig,
+                   src_valid: Array | None = None,
+                   tgt_valid: Array | None = None) -> tuple[Array, dict[str, Array]]:
+    """vmap over pairs: keys [B, 2], src [B, N, 3], tgt [B, M, 3].
+
+    This is the workload's data-parallel axis (SURVEY.md §2.4): the batched
+    while_loop runs until every pair in the batch converged, with converged
+    pairs masked. Shard the batch axis over a mesh via
+    ``parallel.batched.register_sharded``.
+    """
+    b = src.shape[0]
+    if src_valid is None:
+        src_valid = jnp.ones(src.shape[:2], bool)
+    if tgt_valid is None:
+        tgt_valid = jnp.ones(tgt.shape[:2], bool)
+    fn = jax.vmap(register_pair, in_axes=(0, 0, 0, None, 0, 0))
+    return fn(keys, src, tgt, cfg, src_valid, tgt_valid)

@@ -1,0 +1,126 @@
+"""Golden tests for the truncated Chamfer loss (SURVEY.md §4b).
+
+Pins the reference quirks: truncation on *squared* distance, L1 (sqrt)
+point reduction, lengths-mean over true counts.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deformationpyramid_tpu.ops.chamfer import truncated_chamfer, batched_truncated_chamfer
+from deformationpyramid_tpu.ops.knn import nn_argmin_xla
+
+
+def brute_chamfer(x, y, trunc=1e9):
+    d = ((x[:, None] - y[None]) ** 2).sum(-1)
+    dx, dy = d.min(1), d.min(0)
+    dx = np.where(dx >= trunc, 0.0, dx)
+    dy = np.where(dy >= trunc, 0.0, dy)
+    return np.sqrt(dx).mean() + np.sqrt(dy).mean()
+
+
+def test_chamfer_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(100, 3)).astype(np.float32)
+    y = rng.normal(size=(130, 3)).astype(np.float32)
+    got = float(truncated_chamfer(jnp.array(x), jnp.array(y)))
+    assert abs(got - brute_chamfer(x, y)) < 1e-5
+
+
+def test_chamfer_hand_computed():
+    # two points each, distinct NNs
+    x = jnp.array([[0.0, 0, 0], [1.0, 0, 0]])
+    y = jnp.array([[0.0, 0.5, 0], [1.0, 0, 1.0]])
+    # d(x0,y0)=0.25 d(x0,y1)=2; d(x1,y0)=1.25 d(x1,y1)=1
+    # cham_x = (0.5 + 1)/2 ; cham_y = (0.5 + 1)/2
+    expect = (0.5 + 1.0) / 2 * 2
+    got = float(truncated_chamfer(x, y))
+    assert abs(got - expect) < 1e-6
+
+
+def test_truncation_on_squared_distance():
+    x = jnp.array([[0.0, 0, 0]])
+    y = jnp.array([[0.6, 0, 0]])
+    # squared dist 0.36; trunc=0.25 squared -> dropped both sides -> 0
+    got = float(truncated_chamfer(x, y, trunc=0.25))
+    assert got == 0.0
+    # trunc above squared dist keeps it: 0.6 + 0.6
+    got2 = float(truncated_chamfer(x, y, trunc=0.5))
+    assert abs(got2 - 1.2) < 1e-6
+
+
+def test_chamfer_zero_at_identical_clouds():
+    x = jnp.array(np.random.default_rng(2).normal(size=(64, 3)), jnp.float32)
+    got = float(truncated_chamfer(x, x))
+    assert got < 1e-4
+
+
+def test_masked_chamfer_ignores_padding():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(40, 3)).astype(np.float32)
+    y = rng.normal(size=(50, 3)).astype(np.float32)
+    xp = np.concatenate([x, np.full((10, 3), 77.0, np.float32)])
+    yp = np.concatenate([y, np.full((6, 3), -88.0, np.float32)])
+    xv = np.arange(50) < 40
+    yv = np.arange(56) < 50
+    got = float(truncated_chamfer(jnp.array(xp), jnp.array(yp),
+                                  x_valid=jnp.array(xv), y_valid=jnp.array(yv)))
+    assert abs(got - brute_chamfer(x, y)) < 1e-5
+
+
+def test_batched_matches_mean_of_pairs():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(3, 30, 3)).astype(np.float32)
+    y = rng.normal(size=(3, 40, 3)).astype(np.float32)
+    per = [brute_chamfer(x[i], y[i]) for i in range(3)]
+    got = float(batched_truncated_chamfer(jnp.array(x), jnp.array(y)))
+    assert abs(got - np.mean(per)) < 1e-5
+
+
+def test_gradient_matches_finite_difference():
+    rng = np.random.default_rng(5)
+    x = jnp.array(rng.normal(size=(20, 3)), jnp.float32)
+    y = jnp.array(rng.normal(size=(25, 3)), jnp.float32)
+
+    f = lambda x_: truncated_chamfer(x_, y)
+    g = jax.grad(f)(x)
+    eps = 1e-3
+    for (i, j) in [(0, 0), (5, 2), (19, 1)]:
+        xp = x.at[i, j].add(eps)
+        xm = x.at[i, j].add(-eps)
+        fd = (float(f(xp)) - float(f(xm))) / (2 * eps)
+        assert abs(fd - float(g[i, j])) < 5e-3
+
+
+def test_nn_argmin_xla_correct():
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(37, 3)).astype(np.float32)
+    y = rng.normal(size=(53, 3)).astype(np.float32)
+    d = ((x[:, None] - y[None]) ** 2).sum(-1)
+    sq, idx = nn_argmin_xla(jnp.array(x), jnp.array(y))
+    assert (np.asarray(idx) == d.argmin(1)).all()
+    assert np.allclose(np.asarray(sq), d.min(1), atol=1e-5)
+
+
+def test_nn_argmin_pallas_interpret_mode():
+    """Validate the Pallas kernel logic via the interpreter on CPU."""
+    from deformationpyramid_tpu.ops import knn
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(300, 3)).astype(np.float32)
+    y = rng.normal(size=(700, 3)).astype(np.float32)
+    d = ((x[:, None] - y[None]) ** 2).sum(-1)
+
+    import functools
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        knn._nn_argmin_pallas_padded.clear_cache()
+        sq, idx = knn.nn_argmin_pallas(jnp.array(x), jnp.array(y))
+    finally:
+        pl.pallas_call = orig
+        knn._nn_argmin_pallas_padded.clear_cache()
+    assert (np.asarray(idx) == d.argmin(1)).all()
+    assert np.allclose(np.asarray(sq), d.min(1), atol=1e-4)
