@@ -1,0 +1,169 @@
+"""NDP & baseline evaluation on 4DMatch-F / 4DLoMatch-F.
+
+TPU re-design of the reference benchmark driver
+(``/root/reference/eval_nolearned.py``): instead of solving pairs strictly
+sequentially with a host sync per Adam iteration, pairs are grouped into
+shape buckets, solved as vmapped mega-batches (one compiled program per
+bucket shape), and metrics accumulate in running meters.
+
+Usage:
+  python -m deformationpyramid_tpu.cli.eval_nolearned --config config/NDP.yaml
+  python -m deformationpyramid_tpu.cli.eval_nolearned --config config/NDP.yaml \
+      --splits 4DMatch-F --batch 16 --limit 64
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.fourdmatch import BucketBatcher, FourDMatchDataset
+from ..metrics.flow import compute_flow_metrics
+from ..models.pyramid import NDPConfig
+from ..solve.registration import SolverConfig, register_batch
+from ..solve.baselines import (
+    NSFPSolverConfig, NerfiesSolverConfig, SinkhornSolverConfig,
+    register_nsfp, register_nerfies, register_sinkhorn,
+)
+from ..utils.config import AttrDict, load_config
+from ..utils.logging import AverageMeter, Logger
+from ..utils.timers import Timers
+
+
+def solver_from_config(cfg: AttrDict):
+    """Map a reference-format YAML config onto a solver + batched runner."""
+    model = cfg.get("deformation_model", "NDP")
+    if model == "NDP":
+        scfg = SolverConfig(
+            pyramid=NDPConfig(
+                m=cfg.get("m", 9), k0=cfg.get("k0", -8),
+                depth=cfg.get("depth", 3), width=cfg.get("width", 128),
+                rotation_format=cfg.get("rotation_format", "axis_angle"),
+                motion=cfg.get("motion_type", "SE3"),
+                nonrigidity_est=cfg.get("w_reg", 0.0) > 0,
+            ),
+            iters=cfg.get("iters", 500), lr=cfg.get("lr", 0.01),
+            max_break_count=cfg.get("max_break_count", 15),
+            break_threshold_ratio=cfg.get("break_threshold_ratio", 0.001),
+            samples=cfg.get("samples", 2000), w_reg=cfg.get("w_reg", 0.0),
+        )
+        fn = lambda keys, s, t, sv, tv: register_batch(keys, s, t, scfg, sv, tv)
+        return scfg, jax.jit(fn), "full"
+    if model == "NSFP":
+        scfg = NSFPSolverConfig(
+            iters=cfg.get("iters", 5000), lr=cfg.get("lr", 0.01),
+            max_break_count=cfg.get("max_break_count", 70),
+            break_threshold_ratio=cfg.get("break_threshold_ratio", 0.001),
+            samples=cfg.get("samples", 2000))
+        fn = jax.jit(jax.vmap(
+            lambda k, s, t, sv, tv: register_nsfp(k, s, t, scfg, sv, tv)))
+        return scfg, fn, "full"
+    if model == "Nerfies":
+        scfg = NerfiesSolverConfig(
+            iters=cfg.get("iters", 5000), lr=cfg.get("lr", 0.01),
+            max_break_count=cfg.get("max_break_count", 70),
+            break_threshold_ratio=cfg.get("break_threshold_ratio", 0.001),
+            samples=cfg.get("samples", 2000))
+        fn = jax.jit(jax.vmap(
+            lambda k, s, t, sv, tv: register_nerfies(k, s, t, scfg, sv, tv)))
+        return scfg, fn, "full"
+    if model == "Sinkhorn":
+        scfg = SinkhornSolverConfig(
+            blur=cfg.get("blur", 0.1), reach=cfg.get("reach", 1.0),
+            n_steps=cfg.get("Nsteps", 11), lr=cfg.get("lr", 1.0),
+            samples=cfg.get("samples", 2000))
+        fn = jax.jit(jax.vmap(
+            lambda k, s, t, sv, tv: register_sinkhorn(k, s, t, scfg, sv, tv)))
+        return scfg, fn, "subset"
+    raise KeyError(f"unknown deformation_model {model!r} "
+                   "(ED requires the depth/graph eval path)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--splits", nargs="*", default=["4DMatch-F", "4DLoMatch-F"])
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--limit", type=int, default=None,
+                    help="evaluate only the first N pairs per split")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg = load_config(args.config)
+    snap_dir = os.path.join("snapshot", str(cfg.get("folder", "eval")),
+                            str(cfg.get("exp_dir", "run")))
+    os.makedirs(snap_dir, exist_ok=True)
+
+    scfg, run_batch, flow_scope = solver_from_config(cfg)
+    timers = Timers()
+    key = jax.random.key(args.seed)
+
+    for split in args.splits:
+        ds = FourDMatchDataset(cfg.data_root, split)
+        if len(ds) == 0:
+            print(f"[skip] no data for split {split} under {cfg.data_root}")
+            continue
+        if args.limit is not None:
+            ds.entries = ds.entries[: args.limit]
+        logger = Logger(os.path.join(snap_dir, split + ".log"))
+        meters: dict[str, AverageMeter] = {}
+        n_done = 0
+
+        for batch in BucketBatcher(ds, args.batch):
+            b = batch.src.shape[0]
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, b)
+            timers.tic("registration")
+            out = run_batch(keys, jnp.array(batch.src), jnp.array(batch.tgt),
+                            jnp.array(batch.src_valid), jnp.array(batch.tgt_valid))
+            if flow_scope == "subset":
+                moved, s_valid, s_idx, stats = out
+                moved, s_valid, s_idx = map(np.asarray, (moved, s_valid, s_idx))
+            else:
+                warped, stats = out
+                warped = np.asarray(warped)
+            timers.toc("registration")
+
+            seen = set()
+            for j, ds_idx in enumerate(batch.indices):
+                if ds_idx in seen:  # padding repeat of last pair
+                    continue
+                seen.add(ds_idx)
+                pair = ds[ds_idx]
+                ns = len(pair.src)
+                if flow_scope == "subset":
+                    # Sinkhorn evaluates on the moved sample subset
+                    # (eval_nolearned.py:105-108)
+                    sel = s_idx[j][s_valid[j]]
+                    flow = moved[j][s_valid[j]] - pair.src[sel]
+                    flow_gt = pair.flow_gt[sel]
+                    overlap = pair.overlap[sel]
+                else:
+                    flow = warped[j, :ns] - pair.src
+                    flow_gt, overlap = pair.flow_gt, pair.overlap
+                m = compute_flow_metrics(
+                    jnp.array(flow), jnp.array(flow_gt),
+                    overlap=jnp.array(overlap))
+                for k2, v in m.items():
+                    meters.setdefault(k2, AverageMeter()).update(float(v))
+                n_done += 1
+
+        msg = f"{n_done}/{len(ds)}: " + "\t".join(
+            f"{k}: {v.avg:.3f}" for k, v in meters.items())
+        logger.write(msg + "\n")
+        print("score on", split, "\n", msg)
+
+    print("time cost average")
+    for line in timers.get_strings():
+        print(line)
+
+
+if __name__ == "__main__":
+    main()

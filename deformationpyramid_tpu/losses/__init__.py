@@ -36,16 +36,42 @@ def arap_cost(R: Array, t: Array, g: Array, e: Array, w: Array,
     return jnp.sum(jnp.where(e_valid, cost, 0.0)) / jnp.maximum(jnp.sum(e_valid), 1)
 
 
+def _sym3x3_max_eigval(A: Array) -> Array:
+    """Largest eigenvalue of symmetric [N, 3, 3] matrices, closed form.
+
+    Trigonometric method (Smith 1961): no SVD/QR lowering, pure VPU math —
+    safe inside while_loops on TPU.
+    """
+    a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
+    a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+    p1 = a01 ** 2 + a02 ** 2 + a12 ** 2
+    q = (a00 + a11 + a22) / 3.0
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    # det((A - qI)/p) / 2, expanded
+    b00, b11, b22 = (a00 - q) / p, (a11 - q) / p, (a22 - q) / p
+    b01, b02, b12 = a01 / p, a02 / p, a12 / p
+    detB = (b00 * (b11 * b22 - b12 ** 2)
+            - b01 * (b01 * b22 - b12 * b02)
+            + b02 * (b01 * b12 - b11 * b02))
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    eig_max = q + 2.0 * p * jnp.cos(phi)
+    # nearly-spherical case (p2 ~ 0): all eigenvalues equal q
+    return jnp.where(p2 < 1e-20, q, eig_max)
+
+
 def nerfies_regularization(jacobian: Array, eps: float = 1e-6) -> Array:
     """Elastic log-singular-value penalty (``model/loss.py:373-379``).
 
-    jacobian: [N, 3, 3] per-point warp Jacobians. The reference ships the SVD
-    to CPU double for speed; on TPU a batched f32 3x3 SVD via XLA is fast and
-    accurate enough (singular values of near-identity Jacobians).
+    jacobian: [N, 3, 3] per-point warp Jacobians. The reference ships a full
+    SVD to CPU double; only the MAX singular value feeds the loss
+    (``loss.py:377``), so on TPU we use the closed-form largest eigenvalue
+    of J^T J — exact, differentiable, and cheap inside the compiled loop.
     """
-    svals = jnp.linalg.svd(jacobian, compute_uv=False)
-    svals = jnp.maximum(svals, eps)
-    log_max = jnp.log(jnp.max(svals, axis=-1))
+    JtJ = jnp.einsum("nji,njk->nik", jacobian, jacobian)
+    sig_max = jnp.sqrt(jnp.maximum(_sym3x3_max_eigval(JtJ), eps ** 2))
+    log_max = jnp.log(sig_max)
     return jnp.mean(log_max ** 2)
 
 

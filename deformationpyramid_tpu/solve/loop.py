@@ -1,0 +1,96 @@
+"""Generic compiled Adam + 3-way-early-stop optimization loop.
+
+The reference repeats this exact loop shape in five places
+(``model/registration.py:184-238, 305-330, 375-448, 508-527`` and
+``shape_transfer.py:127-153``); here it is one ``lax.while_loop`` factory
+shared by the NDP solver and every baseline:
+
+  1. loss < loss_eps                                   -> stop, no step
+  2. |loss_prev - loss| < loss_prev * plateau_ratio    -> counter += 1
+  3. counter >= max_break_count                        -> stop, no step
+
+The carry keeps the auxiliary output of the *last evaluation* (e.g. warped
+points computed before the final step) — the value the reference hands to
+downstream stages.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    iters: int = 500
+    lr: float = 0.01
+    max_break_count: int = 15
+    break_threshold_ratio: float = 0.001
+    loss_eps: float = 1e-4
+    lr_decay: float | None = None  # per-step exponential gamma (ED uses 0.999)
+
+
+def run_adam_loop(loss_fn: Callable[[Any, Array, Array], tuple[Array, Any]],
+                  params: Any, cfg: LoopConfig, key: Array | None = None,
+                  aux_init: Any = None):
+    """Optimize ``params`` with Adam under compiled early stopping.
+
+    loss_fn(params, it, key) -> (loss, aux). ``key`` (if given) is split each
+    iteration — used by solvers that resample points per step (ED baseline,
+    ``registration.py:381-390``). Returns (params, aux_last_eval, stats).
+    """
+    if cfg.lr_decay is not None:
+        sched = optax.exponential_decay(cfg.lr, transition_steps=1,
+                                        decay_rate=cfg.lr_decay)
+        opt = optax.adam(sched)
+    else:
+        opt = optax.adam(cfg.lr)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    key0 = key if key is not None else jax.random.key(0)
+
+    def cond(c):
+        return (c["it"] < cfg.iters) & jnp.logical_not(c["done"])
+
+    def body(c):
+        k_iter, k_next = jax.random.split(c["key"])
+        (loss, aux), grads = grad_fn(c["params"], c["it"], k_iter)
+        small = loss < cfg.loss_eps
+        plateau = jnp.abs(c["loss_prev"] - loss) < c["loss_prev"] * cfg.break_threshold_ratio
+        counter = c["counter"] + plateau.astype(jnp.int32)
+        done = small | (counter >= cfg.max_break_count)
+        updates, opt_state = opt.update(grads, c["opt_state"], c["params"])
+        new_params = optax.apply_updates(c["params"], updates)
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(done, b, a), new, old)
+        return {
+            "params": keep(new_params, c["params"]),
+            "opt_state": keep(opt_state, c["opt_state"]),
+            "loss_prev": jnp.where(done, c["loss_prev"], loss),
+            "counter": counter,
+            "done": done,
+            "it": c["it"] + 1,
+            "aux": aux,
+            "loss": loss,
+            "key": k_next,
+        }
+
+    init = {
+        "params": params,
+        "opt_state": opt.init(params),
+        "loss_prev": jnp.float32(1e6),
+        "counter": jnp.int32(0),
+        "done": jnp.bool_(False),
+        "it": jnp.int32(0),
+        "aux": aux_init,
+        "loss": jnp.float32(jnp.inf),
+        "key": key0,
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    stats = {"iters": out["it"], "loss": out["loss"]}
+    return out["params"], out["aux"], stats

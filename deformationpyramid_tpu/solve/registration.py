@@ -28,9 +28,9 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..models.pyramid import NDPConfig, init_pyramid_params, level_warp, warp
+from .loop import LoopConfig, run_adam_loop
 from ..ops.chamfer import truncated_chamfer
 
 Array = jax.Array
@@ -75,7 +75,6 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
     Returns (updated level params, warped pts from last evaluation, stats).
     """
     pcfg = cfg.pyramid
-    opt = optax.adam(cfg.lr)
 
     def loss_fn(p):
         warped, nr = level_warp(p, pts, lvl, pcfg)
@@ -98,45 +97,13 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
             loss = loss + jnp.where(lvl > 0, cfg.w_reg * reg, 0.0)
         return loss, warped
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-    def cond(c):
-        return (c["it"] < cfg.iters) & jnp.logical_not(c["done"])
-
-    def body(c):
-        (loss, warped), grads = grad_fn(c["params"])
-        small = loss < cfg.loss_eps
-        plateau = jnp.abs(c["loss_prev"] - loss) < c["loss_prev"] * cfg.break_threshold_ratio
-        counter = c["counter"] + plateau.astype(jnp.int32)
-        done = small | (counter >= cfg.max_break_count)
-        updates, opt_state = opt.update(grads, c["opt_state"], c["params"])
-        new_params = optax.apply_updates(c["params"], updates)
-        keep = lambda new, old: jax.tree.map(
-            lambda a, b: jnp.where(done, b, a), new, old)
-        return {
-            "params": keep(new_params, c["params"]),
-            "opt_state": keep(opt_state, c["opt_state"]),
-            "loss_prev": jnp.where(done, c["loss_prev"], loss),
-            "counter": counter,
-            "done": done,
-            "it": c["it"] + 1,
-            "warped": warped,
-            "loss": loss,
-        }
-
-    init = {
-        "params": lvl_params,
-        "opt_state": opt.init(lvl_params),
-        "loss_prev": jnp.float32(1e6),
-        "counter": jnp.int32(0),
-        "done": jnp.bool_(False),
-        "it": jnp.int32(0),
-        "warped": pts,
-        "loss": jnp.float32(jnp.inf),
-    }
-    out = jax.lax.while_loop(cond, body, init)
-    stats = {"iters": out["it"], "loss": out["loss"]}
-    return out["params"], out["warped"], stats
+    lcfg = LoopConfig(iters=cfg.iters, lr=cfg.lr,
+                      max_break_count=cfg.max_break_count,
+                      break_threshold_ratio=cfg.break_threshold_ratio,
+                      loss_eps=cfg.loss_eps)
+    new_params, warped, stats = run_adam_loop(
+        lambda p, it, k: loss_fn(p), lvl_params, lcfg, aux_init=pts)
+    return new_params, warped, stats
 
 
 def _random_subset(key: Array, pts: Array, valid: Array, k: int) -> tuple[Array, Array]:
@@ -151,6 +118,15 @@ def _random_subset(key: Array, pts: Array, valid: Array, k: int) -> tuple[Array,
     score = jnp.where(valid, score, 2.0)
     _, idx = jax.lax.top_k(-score, k)
     return pts[idx], valid[idx]
+
+
+def _random_subset_idx(key: Array, pts: Array, valid: Array, k: int):
+    """Like :func:`_random_subset` but also returns the chosen indices."""
+    n = pts.shape[0]
+    score = jax.random.uniform(key, (n,))
+    score = jnp.where(valid, score, 2.0)
+    _, idx = jax.lax.top_k(-score, k)
+    return pts[idx], valid[idx], idx
 
 
 def register_pair(key: Array, src: Array, tgt: Array, cfg: SolverConfig,
