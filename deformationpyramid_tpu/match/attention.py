@@ -1,0 +1,98 @@
+"""Geometry-aware multi-head attention layer.
+
+Reference parity: ``GeometryAttentionLayer``
+(``/root/reference/correspondence/lepard/transformer.py:10-93``) and its
+outlier-rejection twin with the compatibility multiplier
+(``outlier_rejection/geometry_attention.py:87-88``). One functional layer
+serves both. Single-cloud convention [N, C]; vmap for batches.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .position_encoding import embed_rotary
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionConfig:
+    feature_dim: int = 528
+    n_head: int = 4
+    pe_type: str = "rotary"
+
+
+def _xavier(key, shape):
+    fan_in, fan_out = shape[0], shape[-1]
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+
+def init_attention_layer(key: Array, cfg: AttentionConfig) -> dict:
+    d = cfg.feature_dim
+    ks = jax.random.split(key, 6)
+    return {
+        "q": _xavier(ks[0], (d, d)),
+        "k": _xavier(ks[1], (d, d)),
+        "v": _xavier(ks[2], (d, d)),
+        "merge": _xavier(ks[3], (d, d)),
+        "mlp1": _xavier(ks[4], (2 * d, 2 * d)),
+        "mlp2": _xavier(ks[5], (2 * d, d)),
+        "ln1": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+        "ln2": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+    }
+
+
+def _layer_norm(x: Array, p: dict, eps: float = 1e-5) -> Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+def apply_attention_layer(p: dict, x: Array, source: Array,
+                          x_pe: Array | None, source_pe: Array | None,
+                          x_mask: Array | None, source_mask: Array | None,
+                          cfg: AttentionConfig,
+                          compatibility: Array | None = None) -> Array:
+    """x [L, C] queries attend into source [S, C]; returns [L, C].
+
+    pe handling matches the reference: 'sinusoidal' adds pe before q/k
+    projection; 'rotary' rotates the projected q/k; 'none' skips pe.
+    ``compatibility`` [L, S] multiplies raw attention logits (NeCo).
+    """
+    h, dim = cfg.n_head, cfg.feature_dim // cfg.n_head
+    q_in, k_in, v_in = x, source, source
+    if cfg.pe_type == "sinusoidal" and x_pe is not None:
+        q_in = q_in + x_pe
+        k_in = k_in + source_pe
+    qw = q_in @ p["q"]
+    kw = k_in @ p["k"]
+    vw = v_in @ p["v"]
+    if cfg.pe_type == "rotary" and x_pe is not None:
+        qw = embed_rotary(qw, x_pe[..., 0], x_pe[..., 1])
+        kw = embed_rotary(kw, source_pe[..., 0], source_pe[..., 1])
+
+    L, S = qw.shape[0], kw.shape[0]
+    qw = qw.reshape(L, h, dim)
+    kw = kw.reshape(S, h, dim)
+    vw = vw.reshape(S, h, dim)
+
+    a = jnp.einsum("lhd,shd->lsh", qw, kw)
+    if compatibility is not None:
+        a = a * compatibility[..., None]
+    if source_mask is not None:
+        q_m = x_mask if x_mask is not None else jnp.ones((L,), bool)
+        drop = q_m[:, None] & (~source_mask)[None, :]
+        a = jnp.where(drop[..., None], -jnp.inf, a)
+    a = a / jnp.sqrt(dim)
+    a = jax.nn.softmax(a, axis=1)
+    o = jnp.einsum("lsh,shd->lhd", a, vw).reshape(L, h * dim)
+
+    message = _layer_norm(o @ p["merge"], p["ln1"])
+    message = jnp.concatenate([x, message], axis=-1)
+    message = jax.nn.relu(message @ p["mlp1"]) @ p["mlp2"]
+    message = _layer_norm(message, p["ln2"])
+    return x + message

@@ -56,26 +56,26 @@ def _kaiming_uniform(key, shape, fan_in):
     return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
 
 
-def init_kpconv(key: Array, in_ch: int, out_ch: int, radius: float,
-                extent: float, cfg: KPConvConfig) -> dict:
+def init_kpconv(key: Array, in_ch: int, out_ch: int, cfg: KPConvConfig) -> dict:
+    """Trainable arrays only; geometry (kernel points, extent) is static and
+    recomputed at apply time from the block plan so the param tree stays
+    pure-float for grad/optax."""
     k = cfg.num_kernel_points
-    kp = kernel_dispositions(k, cfg.in_points_dim, cfg.fixed_kernel_points,
-                             radius)
     return {
         "weights": _kaiming_uniform(key, (k, in_ch, out_ch), in_ch * k),
-        "kernel_points": jnp.asarray(kp),       # non-trainable buffer
-        "extent": float(extent),                 # static metadata
     }
 
 
 def apply_kpconv(p: dict, q_pts: Array, s_pts: Array, neighb: Array,
-                 x: Array, cfg: KPConvConfig) -> Array:
+                 x: Array, radius: float, extent: float,
+                 cfg: KPConvConfig) -> Array:
     """q_pts [Nq, 3], s_pts [Ns, 3], neighb [Nq, K] (shadow = Ns), x [Ns, C].
 
     Mirrors ``KPConv.forward`` (``blocks.py:229-374``), rigid path.
     """
-    extent = p["extent"]
-    kernel_points = jax.lax.stop_gradient(p["kernel_points"])
+    kernel_points = jnp.asarray(kernel_dispositions(
+        cfg.num_kernel_points, cfg.in_points_dim, cfg.fixed_kernel_points,
+        radius))
     s_pad = jnp.concatenate([s_pts, jnp.full((1, s_pts.shape[1]), 1e6,
                                              s_pts.dtype)], axis=0)
     x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
@@ -139,51 +139,49 @@ def leaky_relu(x: Array) -> Array:
 # Blocks
 # ---------------------------------------------------------------------------
 
-def init_unary(key: Array, in_dim: int, out_dim: int, cfg: KPConvConfig,
-               no_relu: bool = False) -> dict:
-    p = {"w": _kaiming_uniform(key, (in_dim, out_dim), in_dim),
-         "no_relu": no_relu}
+def init_unary(key: Array, in_dim: int, out_dim: int, cfg: KPConvConfig) -> dict:
+    p = {"w": _kaiming_uniform(key, (in_dim, out_dim), in_dim)}
     if not cfg.use_batch_norm:
         p["bias"] = jnp.zeros((out_dim,))
     return p
 
 
-def apply_unary(p: dict, x: Array, valid: Array | None, cfg: KPConvConfig) -> Array:
+def apply_unary(p: dict, x: Array, valid: Array | None, cfg: KPConvConfig,
+                no_relu: bool = False) -> Array:
     x = x @ p["w"]
     x = instance_norm(x, valid, cfg.use_batch_norm, p.get("bias"))
-    if not p["no_relu"]:
+    if not no_relu:
         x = leaky_relu(x)
     return x
 
 
-def init_simple_block(key: Array, in_dim: int, out_dim: int, radius: float,
+def init_simple_block(key: Array, in_dim: int, out_dim: int,
                       cfg: KPConvConfig) -> dict:
-    extent = radius * cfg.KP_extent / cfg.conv_radius
-    p = {"kpconv": init_kpconv(key, in_dim, out_dim // 2, radius, extent, cfg)}
+    p = {"kpconv": init_kpconv(key, in_dim, out_dim // 2, cfg)}
     if not cfg.use_batch_norm:
         p["bias"] = jnp.zeros((out_dim // 2,))
     return p
 
 
 def apply_simple_block(p: dict, x: Array, q_pts, s_pts, neighb, q_valid,
-                       cfg: KPConvConfig) -> Array:
-    x = apply_kpconv(p["kpconv"], q_pts, s_pts, neighb, x, cfg)
+                       radius: float, cfg: KPConvConfig) -> Array:
+    extent = radius * cfg.KP_extent / cfg.conv_radius
+    x = apply_kpconv(p["kpconv"], q_pts, s_pts, neighb, x, radius, extent, cfg)
     return leaky_relu(instance_norm(x, q_valid, cfg.use_batch_norm, p.get("bias")))
 
 
-def init_resnetb_block(key: Array, in_dim: int, out_dim: int, radius: float,
+def init_resnetb_block(key: Array, in_dim: int, out_dim: int,
                        cfg: KPConvConfig) -> dict:
-    extent = radius * cfg.KP_extent / cfg.conv_radius
     k1, k2, k3, k4 = jax.random.split(key, 4)
     p: dict[str, Any] = {}
     if in_dim != out_dim // 4:
         p["unary1"] = init_unary(k1, in_dim, out_dim // 4, cfg)
-    p["kpconv"] = init_kpconv(k2, out_dim // 4, out_dim // 4, radius, extent, cfg)
+    p["kpconv"] = init_kpconv(k2, out_dim // 4, out_dim // 4, cfg)
     if not cfg.use_batch_norm:
         p["bias_conv"] = jnp.zeros((out_dim // 4,))
-    p["unary2"] = init_unary(k3, out_dim // 4, out_dim, cfg, no_relu=True)
+    p["unary2"] = init_unary(k3, out_dim // 4, out_dim, cfg)
     if in_dim != out_dim:
-        p["shortcut"] = init_unary(k4, in_dim, out_dim, cfg, no_relu=True)
+        p["shortcut"] = init_unary(k4, in_dim, out_dim, cfg)
     return p
 
 
@@ -200,16 +198,17 @@ def closest_pool(x: Array, inds: Array) -> Array:
 
 
 def apply_resnetb_block(p: dict, features: Array, q_pts, s_pts, neighb,
-                        q_valid, s_valid, strided: bool,
+                        q_valid, s_valid, strided: bool, radius: float,
                         cfg: KPConvConfig) -> Array:
+    extent = radius * cfg.KP_extent / cfg.conv_radius
     x = features
     if "unary1" in p:
         x = apply_unary(p["unary1"], x, s_valid, cfg)
-    x = apply_kpconv(p["kpconv"], q_pts, s_pts, neighb, x, cfg)
+    x = apply_kpconv(p["kpconv"], q_pts, s_pts, neighb, x, radius, extent, cfg)
     x = leaky_relu(instance_norm(x, q_valid, cfg.use_batch_norm,
                                  p.get("bias_conv")))
-    x = apply_unary(p["unary2"], x, q_valid, cfg)
+    x = apply_unary(p["unary2"], x, q_valid, cfg, no_relu=True)
     shortcut = max_pool(features, neighb) if strided else features
     if "shortcut" in p:
-        shortcut = apply_unary(p["shortcut"], shortcut, q_valid, cfg)
+        shortcut = apply_unary(p["shortcut"], shortcut, q_valid, cfg, no_relu=True)
     return leaky_relu(x + shortcut)

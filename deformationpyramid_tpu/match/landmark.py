@@ -1,0 +1,56 @@
+"""Landmark model: matcher + outlier rejection -> landmark pairs for LNDP.
+
+Reference parity: ``Landmark_Model``
+(``/root/reference/correspondence/landmark_estimator.py:14-75``): run the
+Lepard matcher, score matches with NeCo, threshold-filter the 6D vectors
+into (ldmk_s, ldmk_t). Static shapes: the landmark set keeps the matcher's
+``max_matches`` capacity with a validity mask (invalid rows are zeroed),
+which feeds straight into the landmark-mode registration solver.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .outlier_rejection import NeCoConfig, apply_neco, init_neco
+from .pipeline import MatcherConfig, apply_matcher, init_matcher
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LandmarkConfig:
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    neco: NeCoConfig = dataclasses.field(default_factory=NeCoConfig)
+    inlier_thr: float = 0.3        # config/LNDP.yaml inlier_thr
+    reject_outliers: bool = True
+
+
+def init_landmark_model(key: Array, cfg: LandmarkConfig) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {"matcher": init_matcher(k1, cfg.matcher),
+            "neco": init_neco(k2, cfg.neco)}
+
+
+def landmark_inference(params: dict, pyramid: dict, src_len_coarse: Array,
+                       tgt_len_coarse: Array, cfg: LandmarkConfig) -> dict[str, Any]:
+    """Returns dict with ldmk_s/ldmk_t [K, 3], ldmk_valid [K], plus the
+    matcher data for diagnostics."""
+    data = apply_matcher(params["matcher"], pyramid, src_len_coarse,
+                         tgt_len_coarse, cfg.matcher)
+    confidence = apply_neco(params["neco"], data["vec_6d"],
+                            data["vec_6d_mask"], cfg.neco)
+    keep = data["vec_6d_mask"]
+    if cfg.reject_outliers:
+        keep = keep & (confidence > cfg.inlier_thr)
+    vec6d = jnp.where(keep[:, None], data["vec_6d"], 0.0)
+    data.update({
+        "neco_confidence": confidence,
+        "ldmk_s": vec6d[:, :3],
+        "ldmk_t": vec6d[:, 3:],
+        "ldmk_valid": keep,
+    })
+    return data

@@ -1,0 +1,158 @@
+"""Training losses for the correspondence stack.
+
+Reference parity:
+* ``MatchMotionLoss`` (``/root/reference/correspondence/lepard/loss.py:70-188``):
+  focal loss on the confidence matrix against GT mutual-NN matches + L1
+  rigid-motion loss on overlap points, applied to the final matrix and every
+  positioning layer.
+* ``NeCoLoss`` (``outlier_rejection/loss.py:7-190``): class-balanced BCE on
+  per-match inlier confidence; the inlier label comes from the GT flow+pose.
+
+Single-pair convention with masks; vmap + mean for batches.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchLossConfig:
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    pos_weight: float = 1.0
+    neg_weight: float = 1.0
+    match_weight: float = 1.0
+    motion_weight: float = 1.0
+    match_type: str = "dual_softmax"
+
+
+def matches_to_conf_gt(match_gt: Array, match_gt_valid: Array,
+                       s: int, t: int) -> Array:
+    """GT match list [M, 2] (+valid) -> dense 0/1 matrix [S, T]."""
+    conf_gt = jnp.zeros((s, t), jnp.float32)
+    rows = jnp.where(match_gt_valid, match_gt[:, 0], s)   # scatter-drop pad
+    cols = jnp.where(match_gt_valid, match_gt[:, 1], t)
+    return conf_gt.at[rows, cols].set(1.0, mode="drop")
+
+
+def focal_correspondence_loss(conf: Array, conf_gt: Array, weight: Array,
+                              cfg: MatchLossConfig) -> Array:
+    """Dual-softmax focal loss (``lepard/loss.py:190-238`` semantics)."""
+    conf = jnp.clip(conf, 1e-6, 1.0 - 1e-6)
+    alpha, gamma = cfg.focal_alpha, cfg.focal_gamma
+    pos = (conf_gt == 1.0) & (weight > 0)
+    neg = (conf_gt == 0.0) & (weight > 0)
+    loss_pos = -alpha * (1.0 - conf) ** gamma * jnp.log(conf)
+    loss_neg = -alpha * conf ** gamma * jnp.log(1.0 - conf)
+    n_pos = jnp.maximum(jnp.sum(pos), 1)
+    n_neg = jnp.maximum(jnp.sum(neg), 1)
+    lp = jnp.sum(jnp.where(pos, loss_pos * weight, 0.0)) / n_pos
+    ln = jnp.sum(jnp.where(neg, loss_neg * weight, 0.0)) / n_neg
+    return cfg.pos_weight * lp + cfg.neg_weight * ln
+
+
+def match_recall_precision(conf_gt: Array, match_idx: Array,
+                           match_valid: Array) -> tuple[Array, Array]:
+    """Recall/precision of extracted matches vs GT matrix
+    (``lepard/loss.py:139-157`` area)."""
+    hits = conf_gt[match_idx[:, 0], match_idx[:, 1]] * match_valid
+    n_pred = jnp.maximum(jnp.sum(match_valid), 1)
+    n_gt = jnp.maximum(jnp.sum(conf_gt), 1)
+    return jnp.sum(hits) / n_gt, jnp.sum(hits) / n_pred
+
+
+def match_motion_loss(data: dict, match_gt: Array, match_gt_valid: Array,
+                      coarse_flow: Array, gt_rot: Array, gt_trn: Array,
+                      cfg: MatchLossConfig = MatchLossConfig()) -> tuple[Array, dict]:
+    """Full matcher loss over the final + positioning-layer conf matrices.
+
+    data: output of ``apply_matcher``; coarse_flow [S, 3] GT flow at coarse
+    level; gt_rot/gt_trn the GT rigid motion (R(Ps+flow)+t = Pt).
+    """
+    s_pcd, t_pcd = data["s_pcd"], data["t_pcd"]
+    src_mask, tgt_mask = data["src_mask"], data["tgt_mask"]
+    s, t = data["conf_matrix_pred"].shape
+    conf_gt = matches_to_conf_gt(match_gt, match_gt_valid, s, t)
+    weight = (src_mask[:, None] & tgt_mask[None, :]).astype(jnp.float32)
+
+    overlap = jnp.zeros((s,), bool).at[
+        jnp.where(match_gt_valid, match_gt[:, 0], s)].set(True, mode="drop")
+
+    info = {}
+    loss = jnp.float32(0.0)
+    matrices = [data["conf_matrix_pred"]] + [
+        pl["conf_matrix"] for pl in data["position_layers"]]
+    rigid_preds = [(data["R_s2t_pred"], data["t_s2t_pred"])] + [
+        (pl["R_s2t_pred"], pl["t_s2t_pred"]) for pl in data["position_layers"]]
+
+    recall, precision = match_recall_precision(conf_gt, data["match_idx"],
+                                               data["match_valid"])
+    info.update({"recall_coarse": recall, "precision_coarse": precision})
+
+    spcd_deformed = s_pcd + coarse_flow
+    src_wrapped_gt = (gt_rot @ spcd_deformed.T + gt_trn).T
+    sflow_gt = src_wrapped_gt - s_pcd
+
+    for conf, (R_pred, t_pred) in zip(matrices, rigid_preds):
+        focal = focal_correspondence_loss(conf, conf_gt, weight, cfg)
+        loss = loss + cfg.match_weight * focal
+        if cfg.motion_weight > 0:
+            src_wrapped_pred = (R_pred @ s_pcd.T + t_pred).T
+            sflow_pred = src_wrapped_pred - s_pcd
+            e1 = jnp.sum(jnp.abs(sflow_pred - sflow_gt), axis=1)
+            l1 = jnp.sum(jnp.where(overlap, e1, 0.0)) / jnp.maximum(
+                jnp.sum(overlap), 1)
+            # gated on usable recall in the reference (loss.py:110); the
+            # recall>0.01 gate becomes a smooth where to stay jit-friendly
+            loss = loss + jnp.where(recall > 0.01, cfg.motion_weight * l1, 0.0)
+    info["focal_total"] = loss
+    return loss, info
+
+
+# ---------------------------------------------------------------------------
+# NeCo loss
+# ---------------------------------------------------------------------------
+
+def compute_inlier_mask(vec6d: Array, vec6d_valid: Array, match_idx: Array,
+                        s_pcd: Array, coarse_flow: Array, gt_rot: Array,
+                        gt_trn: Array, inlier_thr: float = 0.1) -> Array:
+    """GT inlier labels for extracted matches
+    (``outlier_rejection/loss.py:162-190``)."""
+    s_warp = (gt_rot @ (s_pcd + coarse_flow).T + gt_trn).T
+    s_gt = s_warp[match_idx[:, 0]]
+    t_matched = vec6d[:, 3:]
+    inlier = jnp.sum((s_gt - t_matched) ** 2, axis=1) < inlier_thr ** 2
+    return inlier & vec6d_valid
+
+
+def balanced_bce(prediction: Array, labels: Array, valid: Array) -> Array:
+    """Class-balanced BCE (``outlier_rejection/loss.py:69-82``):
+    positives weighted by the negative rate and vice versa."""
+    p = jnp.clip(prediction, 1e-7, 1.0 - 1e-7)
+    gt = labels.astype(jnp.float32)
+    bce = -(gt * jnp.log(p) + (1.0 - gt) * jnp.log(1.0 - p))
+    n = jnp.maximum(jnp.sum(valid), 1)
+    pos_rate = jnp.sum(jnp.where(valid, gt, 0.0)) / n
+    weights = jnp.where(gt >= 0.5, 1.0 - pos_rate, pos_rate)
+    return jnp.sum(jnp.where(valid, weights * bce, 0.0)) / n
+
+
+def neco_loss(confidence: Array, vec6d: Array, vec6d_valid: Array,
+              match_idx: Array, s_pcd: Array, coarse_flow: Array,
+              gt_rot: Array, gt_trn: Array,
+              inlier_thr: float = 0.1) -> tuple[Array, dict]:
+    """Balanced BCE + IR metrics before/after filtering."""
+    labels = compute_inlier_mask(vec6d, vec6d_valid, match_idx, s_pcd,
+                                 coarse_flow, gt_rot, gt_trn, inlier_thr)
+    loss = balanced_bce(confidence, labels, vec6d_valid)
+    n = jnp.maximum(jnp.sum(vec6d_valid), 1)
+    ir_before = jnp.sum(labels) / n
+    kept = vec6d_valid & (confidence > 0.5)
+    ir_after = jnp.sum(labels & kept) / jnp.maximum(jnp.sum(kept), 1)
+    return loss, {"IR_lepard": ir_before, "IR_neco": ir_after,
+                  "n_matches": n}

@@ -1,0 +1,80 @@
+"""Soft Procrustes: confidence-weighted rigid fit from a match matrix.
+
+Reference parity: ``SoftProcrustesLayer``
+(``/root/reference/correspondence/lepard/procrustes.py:10-93``): take the
+globally top-scoring entries of the confidence matrix, weight-fit a rigid
+transform (Kabsch), and gate unreliable solutions by SVD condition number.
+Single-pair convention; the sample count is the static padded max (extra
+entries carry zero weight — numerically identical to the reference's
+dynamic count).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ProcrustesConfig:
+    sample_rate: float = 1.0
+    max_condition_num: float = 40.0
+
+
+def weighted_procrustes_with_condition(X: Array, Y: Array, w: Array,
+                                       eps: float = 1e-4):
+    """[N,3],[N,3],[N,1] -> (R, t, condition). f32 3x3 SVD on-device (the
+    reference ships to CPU double, ``procrustes.py:34-36``; f32 is accurate
+    at these condition numbers and the gate filters the rest)."""
+    W1 = jnp.sum(jnp.abs(w), axis=0, keepdims=True)
+    w_norm = w / (W1 + eps)
+    mean_X = jnp.sum(w_norm * X, axis=0, keepdims=True)
+    mean_Y = jnp.sum(w_norm * Y, axis=0, keepdims=True)
+    Sxy = (Y - mean_Y).T @ (w_norm * (X - mean_X))
+    U, D, Vt = jnp.linalg.svd(Sxy)
+    condition = jnp.max(D) / jnp.maximum(jnp.min(D), 1e-12)
+    det = jnp.linalg.det(U) * jnp.linalg.det(Vt.T)
+    S = jnp.diag(jnp.array([1.0, 1.0, 0.0])) + jnp.zeros((3, 3))
+    S = S.at[2, 2].set(det)
+    R = U @ S @ Vt
+    t = mean_Y.T - R @ mean_X.T
+    return R, t, condition
+
+
+def soft_procrustes(conf: Array, src_pcd: Array, tgt_pcd: Array,
+                    src_mask: Array, tgt_mask: Array,
+                    cfg: ProcrustesConfig = ProcrustesConfig()):
+    """conf [S, T], clouds [S,3]/[T,3] -> (R, t, R_fwd, t_fwd, condition, ok).
+
+    R_fwd/t_fwd are identity-gated by the condition check
+    (``procrustes.py:86-91``) and feed the repositioned PE; R/t raw feed the
+    loss.
+    """
+    s, t_len = conf.shape
+    src_len = jnp.sum(src_mask)
+    tgt_len = jnp.sum(tgt_mask)
+    entry_max = (jnp.maximum(src_len, tgt_len) * cfg.sample_rate).astype(jnp.int32)
+    k = min(max(s, t_len), s * t_len)   # static sample cap
+
+    flat = conf.reshape(-1)
+    w, idx = jax.lax.top_k(flat, k)
+    idx_src = idx // t_len
+    idx_tgt = idx % t_len
+    X = src_pcd[idx_src]
+    Y = tgt_pcd[idx_tgt]
+    pos = jnp.arange(k)
+    w = jnp.where(pos < entry_max, w, 0.0)
+
+    R, t, condition = weighted_procrustes_with_condition(X, Y, w[:, None])
+    ok = (condition < cfg.max_condition_num) & jnp.isfinite(condition)
+    eye = jnp.eye(3, dtype=R.dtype)
+    zero = jnp.zeros((3, 1), R.dtype)
+    # NaN guard replaces the reference's try/except identity fallback
+    R = jnp.where(jnp.isfinite(R).all(), R, eye)
+    t = jnp.where(jnp.isfinite(t).all(), t, zero)
+    R_fwd = jnp.where(ok, R, eye)
+    t_fwd = jnp.where(ok, t, zero)
+    return R, t, R_fwd, t_fwd, condition, ok

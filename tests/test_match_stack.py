@@ -1,0 +1,254 @@
+"""Tests for the LNDP correspondence stack (KPConv -> matcher -> NeCo)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deformationpyramid_tpu.data.collate import (
+    build_pair_pyramid, calibrate_neighborhood_limits, grid_subsample,
+    radius_search,
+)
+from deformationpyramid_tpu.data.synthetic import make_pair
+from deformationpyramid_tpu.match.backbone import KPFCN_ARCHITECTURE
+from deformationpyramid_tpu.match.kpconv import KPConvConfig
+from deformationpyramid_tpu.match.landmark import (
+    LandmarkConfig, init_landmark_model, landmark_inference,
+)
+from deformationpyramid_tpu.match.losses import (
+    MatchLossConfig, balanced_bce, compute_inlier_mask, match_motion_loss,
+    matches_to_conf_gt, neco_loss,
+)
+from deformationpyramid_tpu.match.matching import (
+    MatchingConfig, extract_matches, init_matching, log_optimal_transport,
+)
+from deformationpyramid_tpu.match.outlier_rejection import NeCoConfig, apply_neco, init_neco
+from deformationpyramid_tpu.match.pipeline import MatcherConfig, apply_matcher, init_matcher
+from deformationpyramid_tpu.match.position_encoding import (
+    VolPEConfig, embed_rotary, volumetric_pe,
+)
+from deformationpyramid_tpu.match.transformer import TransformerConfig
+
+
+FD = 96  # small feature dim divisible by 6 and n_head
+
+
+def small_matcher_cfg():
+    kcfg = KPConvConfig(first_subsampling_dl=0.05, first_feats_dim=32,
+                        coarse_feature_dim=FD, fine_feature_dim=24)
+    vol = VolPEConfig(feature_dim=FD, vol_origin=(-2.0, -2.0, -2.0))
+    return MatcherConfig(
+        kpfcn=kcfg,
+        transformer=TransformerConfig(feature_dim=FD, n_head=4, vol=vol,
+                                      matching=MatchingConfig(feature_dim=FD)),
+        matching=MatchingConfig(feature_dim=FD),
+        max_matches=64)
+
+
+def make_pyramid(cfg, n=400, seed=0, deform=0.05):
+    src, tgt, flow = make_pair(n=n, seed=seed, deform=deform)
+    limits = calibrate_neighborhood_limits([(src, tgt)], cfg.kpfcn,
+                                           KPFCN_ARCHITECTURE)
+    pyr = build_pair_pyramid(src, tgt, cfg.kpfcn, KPFCN_ARCHITECTURE, limits)
+    pyrd = {"points": [jnp.array(p) for p in pyr.points],
+            "valids": [jnp.array(v) for v in pyr.valids],
+            "neighbors": [jnp.array(x) for x in pyr.neighbors],
+            "pools": [jnp.array(x) for x in pyr.pools],
+            "upsamples": [jnp.array(x) for x in pyr.upsamples],
+            "features": jnp.array(pyr.features)}
+    return src, tgt, flow, pyr, pyrd
+
+
+# ---------------- collate primitives ----------------
+
+def test_grid_subsample_barycenters():
+    pts = np.array([[0.1, 0.1, 0.1], [0.3, 0.3, 0.3],   # same voxel @ dl=0.5
+                    [0.9, 0.9, 0.9]], np.float32)
+    sub, _ = grid_subsample(pts, 0.5)
+    assert len(sub) == 2
+    assert np.allclose(sub[0], [0.2, 0.2, 0.2], atol=1e-6)
+    assert np.allclose(sub[1], [0.9, 0.9, 0.9], atol=1e-6)
+
+
+def test_radius_search_shadow_and_order():
+    sup = np.array([[0, 0, 0], [1, 0, 0], [0.1, 0, 0]], np.float32)
+    q = np.array([[0, 0, 0]], np.float32)
+    idx = radius_search(q, sup, radius=0.5, max_k=3)
+    # distance ordered: self (0), then 0.1 away (2); index 3 = shadow
+    assert idx[0, 0] == 0 and idx[0, 1] == 2 and idx[0, 2] == 3
+
+
+# ---------------- position encoding ----------------
+
+def test_rotary_preserves_norm_and_inner_product_shift():
+    cfg = VolPEConfig(feature_dim=12, pe_type="rotary", vol_origin=(0, 0, 0))
+    x = jnp.array(np.random.default_rng(0).normal(size=(5, 12)), jnp.float32)
+    pts = jnp.array(np.random.default_rng(1).normal(size=(5, 3)), jnp.float32)
+    pe = volumetric_pe(pts, cfg)
+    rx = embed_rotary(x, pe[..., 0], pe[..., 1])
+    # rotation preserves norms
+    assert np.allclose(np.linalg.norm(np.asarray(rx), axis=-1),
+                       np.linalg.norm(np.asarray(x), axis=-1), atol=1e-4)
+
+
+def test_sinusoidal_pe_shape():
+    cfg = VolPEConfig(feature_dim=12, pe_type="sinusoidal", vol_origin=(0, 0, 0))
+    pe = volumetric_pe(jnp.zeros((7, 3)), cfg)
+    assert pe.shape == (7, 12)
+
+
+# ---------------- matching ----------------
+
+def test_log_optimal_transport_is_normalized():
+    rng = np.random.default_rng(0)
+    scores = jnp.array(rng.normal(size=(6, 8)), jnp.float32)
+    sm = jnp.ones((6,), bool)
+    tm = jnp.ones((8,), bool)
+    z = log_optimal_transport(scores, jnp.float32(1.0), 30, sm, tm)
+    # reference convention (matching.py:36-38): after the +log(m+n) shift
+    # each regular row/col of exp(Z) sums to ~1, total mass = m+n
+    a = np.asarray(jnp.exp(z))
+    assert np.allclose(a[:6].sum(axis=1), 1.0, atol=0.02)
+    assert np.allclose(a[:, :8].sum(axis=0), 1.0, atol=0.02)
+    assert abs(a.sum() - 14.0) < 0.2
+
+
+def test_extract_matches_mutual_max():
+    conf = jnp.array([[0.9, 0.1], [0.2, 0.8], [0.3, 0.85]])
+    idx, score, valid = extract_matches(conf, thr=0.5, k=4)
+    got = {(int(i), int(j)) for (i, j), v in zip(np.asarray(idx),
+                                                 np.asarray(valid)) if v}
+    # (0,0) mutual; (2,1) beats (1,1) in column 1 => (1,1) not mutual
+    assert got == {(0, 0), (2, 1)}
+
+
+# ---------------- matcher pipeline ----------------
+
+def test_matcher_forward_shapes_and_finiteness():
+    cfg = small_matcher_cfg()
+    src, tgt, flow, pyr, pyrd = make_pyramid(cfg)
+    params = init_matcher(jax.random.key(0), cfg)
+    data = apply_matcher(params, pyrd, jnp.int32(pyr.src_lengths[2]),
+                         jnp.int32(pyr.tgt_lengths[2]), cfg)
+    n_c = pyrd["points"][2].shape[0]
+    assert data["conf_matrix_pred"].shape == (n_c, n_c)
+    assert np.isfinite(np.asarray(data["conf_matrix_pred"])).all()
+    assert len(data["position_layers"]) == 1
+    assert np.isfinite(np.asarray(data["R_s2t_pred"])).all()
+    # conf zero outside valid region
+    cm = np.asarray(data["conf_matrix_pred"])
+    assert cm[pyr.src_lengths[2]:, :].max() == 0.0
+
+
+def test_matcher_loss_runs_and_decreases_with_training_signal():
+    cfg = small_matcher_cfg()
+    src, tgt, flow, pyr, pyrd = make_pyramid(cfg)
+    params = init_matcher(jax.random.key(0), cfg)
+    s_len, t_len = pyr.src_lengths[2], pyr.tgt_lengths[2]
+    n_c = pyrd["points"][2].shape[0]
+
+    # GT matches: identity-ish nearest pairs from the coarse clouds
+    coarse = np.asarray(pyrd["points"][2])
+    s_pts = coarse[:s_len]
+    t_pts = coarse[s_len:s_len + t_len]
+    d = ((s_pts[:, None] - t_pts[None]) ** 2).sum(-1)
+    gt = np.stack([np.arange(s_len), d.argmin(1)], 1)[:32]
+    gt_pad = np.zeros((64, 2), np.int64)
+    gt_pad[:len(gt)] = gt
+    gt_valid = np.arange(64) < len(gt)
+
+    coarse_flow = jnp.zeros((n_c, 3))
+
+    def loss_fn(p):
+        data = apply_matcher(p, pyrd, jnp.int32(s_len), jnp.int32(t_len), cfg)
+        loss, info = match_motion_loss(
+            data, jnp.array(gt_pad), jnp.array(gt_valid),
+            coarse_flow[:data["s_pcd"].shape[0]],
+            jnp.eye(3), jnp.zeros((3, 1)), MatchLossConfig())
+        return loss
+
+    l0, g = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(l0))
+    gnorm = float(optax_global_norm(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+    # one SGD step reduces the loss
+    import optax
+    p2 = jax.tree.map(lambda p, gg: p - 1e-3 * gg, params, g)
+    l1 = float(loss_fn(p2))
+    assert l1 < float(l0)
+
+
+def optax_global_norm(tree):
+    import optax
+    return optax.global_norm(tree)
+
+
+# ---------------- NeCo ----------------
+
+def test_neco_confidence_and_loss():
+    cfg = NeCoConfig(feature_dim=48, n_head=4, num_layers=2)
+    params = init_neco(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    k = 32
+    s = rng.normal(size=(k, 3)).astype(np.float32)
+    vec6d = jnp.array(np.concatenate([s, s + 0.01], 1))
+    mask = jnp.array(np.arange(k) < 24)
+    conf = apply_neco(params, vec6d, mask, cfg)
+    assert conf.shape == (k,)
+    c = np.asarray(conf)
+    assert ((c >= 0) & (c <= 1)).all()
+    assert (c[24:] == 0).all()  # masked rows zeroed
+
+    # loss with perfect-inlier labels
+    match_idx = jnp.array(np.stack([np.arange(k), np.arange(k)], 1))
+    loss, info = neco_loss(conf, vec6d, mask, match_idx, jnp.array(s),
+                           jnp.zeros((k, 3)), jnp.eye(3), jnp.zeros((3, 1)))
+    assert np.isfinite(float(loss))
+    assert float(info["IR_lepard"]) == 1.0  # all matches are true inliers
+
+
+def test_balanced_bce_weights_classes():
+    pred = jnp.array([0.9, 0.9, 0.1, 0.9])
+    labels = jnp.array([1.0, 1.0, 0.0, 0.0])
+    valid = jnp.ones((4,), bool)
+    loss = balanced_bce(pred, labels, valid)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_inlier_mask_definition():
+    s = jnp.array([[0.0, 0, 0], [1.0, 0, 0]])
+    vec6d = jnp.array([[0.0, 0, 0, 0.0, 0, 0], [1.0, 0, 0, 5.0, 0, 0]])
+    idx = jnp.array([[0, 0], [1, 1]])
+    valid = jnp.ones((2,), bool)
+    m = compute_inlier_mask(vec6d, valid, idx, s, jnp.zeros((2, 3)),
+                            jnp.eye(3), jnp.zeros((3, 1)), inlier_thr=0.1)
+    assert bool(m[0]) and not bool(m[1])
+
+
+# ---------------- landmark glue + registration handoff ----------------
+
+def test_landmark_inference_feeds_registration():
+    cfg = small_matcher_cfg()
+    lcfg = LandmarkConfig(matcher=cfg,
+                          neco=NeCoConfig(feature_dim=48, n_head=4, num_layers=2),
+                          inlier_thr=0.0, reject_outliers=False)
+    src, tgt, flow, pyr, pyrd = make_pyramid(cfg)
+    params = init_landmark_model(jax.random.key(1), lcfg)
+    data = landmark_inference(params, pyrd, jnp.int32(pyr.src_lengths[2]),
+                              jnp.int32(pyr.tgt_lengths[2]), lcfg)
+    assert data["ldmk_s"].shape == (cfg.max_matches, 3)
+    n_ldmk = int(data["ldmk_valid"].sum())
+    assert n_ldmk > 0
+
+    # hand off to the landmark-mode registration solver
+    from deformationpyramid_tpu.models.pyramid import NDPConfig
+    from deformationpyramid_tpu.solve.registration import SolverConfig, register_pair
+    scfg = SolverConfig(pyramid=NDPConfig(m=2, k0=-3, depth=2, width=16),
+                        iters=10, samples=64, use_pallas=False)
+    warped, stats = jax.jit(
+        lambda k, s, t, ls, lt, lv: register_pair(
+            k, s, t, scfg, src_ldmk=ls, tgt_ldmk=lt, ldmk_valid=lv))(
+        jax.random.key(2), jnp.array(src), jnp.array(tgt),
+        data["ldmk_s"], data["ldmk_t"], data["ldmk_valid"])
+    assert np.isfinite(np.asarray(warped)).all()
