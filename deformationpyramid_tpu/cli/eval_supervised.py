@@ -1,0 +1,149 @@
+"""LNDP supervised evaluation: learned landmarks guiding NDP registration.
+
+TPU re-design of ``/root/reference/eval_supervised.py``: for each pair,
+build the KPConv pyramid (host), run the Lepard matcher + NeCo outlier
+rejection (device, jitted), hand the surviving landmark pairs to the
+landmark-mode NDP solver, and score scene-flow metrics.
+
+Usage:
+  python -m deformationpyramid_tpu.cli.eval_supervised --config config/LNDP.yaml \
+      [--weights snapshot/landmark.npz] [--limit N]
+
+Without --weights, runs with random matcher/NeCo weights (pipeline
+validation only — the reference ships pretrained checkpoints that are not
+vendored in this tree; see match/port_torch.py to import torch weights).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.collate import build_pair_pyramid, calibrate_neighborhood_limits
+from ..data.fourdmatch import FourDMatchDataset
+from ..match.backbone import KPFCN_ARCHITECTURE
+from ..match.landmark import LandmarkConfig, init_landmark_model, landmark_inference
+from ..metrics.flow import compute_flow_metrics
+from ..models.pyramid import NDPConfig
+from ..solve.registration import SolverConfig, register_pair
+from ..utils.checkpoint import load_pytree
+from ..utils.config import load_config
+from ..utils.logging import AverageMeter, Logger
+from ..utils.timers import Timers
+
+
+def _round_up(x, m=256):
+    return ((x + m - 1) // m) * m
+
+
+def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
+             splits, batch_limit=None, seed=0, log_dir="snapshot/lndp"):
+    timers = Timers()
+    key = jax.random.key(seed)
+
+    ldmk_jit = jax.jit(lambda p, pyr, sl, tl: landmark_inference(
+        p, pyr, sl, tl, lcfg))
+    reg_jit = jax.jit(lambda k, s, t, ls, lt, lv: register_pair(
+        k, s, t, scfg, src_ldmk=ls, tgt_ldmk=lt, ldmk_valid=lv))
+
+    for split in splits:
+        ds = FourDMatchDataset(cfg.data_root, split)
+        if len(ds) == 0:
+            print(f"[skip] no data for split {split} under {cfg.data_root}")
+            continue
+        if batch_limit is not None:
+            ds.entries = ds.entries[:batch_limit]
+        logger = Logger(os.path.join(log_dir, split + ".log"))
+        meters: dict[str, AverageMeter] = {}
+
+        # calibrate neighborhood limits on a few pairs (dataloader.py:609)
+        sample_pairs = [(ds[i].src, ds[i].tgt) for i in range(min(3, len(ds)))]
+        limits = calibrate_neighborhood_limits(sample_pairs, lcfg.matcher.kpfcn,
+                                               KPFCN_ARCHITECTURE)
+
+        pad_cache: dict = {}
+        for i in range(len(ds)):
+            pair = ds[i]
+            timers.tic("collate")
+            pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
+                                     KPFCN_ARCHITECTURE, limits)
+            # bucket pad sizes to limit recompiles
+            pad = tuple(_round_up(len(p)) for p in pyr.points)
+            pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
+                                     KPFCN_ARCHITECTURE, limits, pad_to=list(pad))
+            timers.toc("collate")
+
+            pyrd = {"points": [jnp.array(p) for p in pyr.points],
+                    "valids": [jnp.array(v) for v in pyr.valids],
+                    "neighbors": [jnp.array(x) for x in pyr.neighbors],
+                    "pools": [jnp.array(x) for x in pyr.pools],
+                    "upsamples": [jnp.array(x) for x in pyr.upsamples],
+                    "features": jnp.array(pyr.features)}
+            cl = lcfg.matcher.coarse_level
+            timers.tic("landmark")
+            data = ldmk_jit(params, pyrd, jnp.int32(pyr.src_lengths[cl]),
+                            jnp.int32(pyr.tgt_lengths[cl]))
+            timers.toc("landmark", block_on=data["ldmk_s"])
+
+            key, sub = jax.random.split(key)
+            timers.tic("registration")
+            warped, stats = reg_jit(sub, jnp.array(pair.src),
+                                    jnp.array(pair.tgt), data["ldmk_s"],
+                                    data["ldmk_t"], data["ldmk_valid"])
+            warped = np.asarray(warped)
+            timers.toc("registration")
+
+            flow = warped - pair.src
+            m = compute_flow_metrics(jnp.array(flow), jnp.array(pair.flow_gt),
+                                     overlap=jnp.array(pair.overlap))
+            m["n_landmarks"] = float(data["ldmk_valid"].sum())
+            for k2, v in m.items():
+                meters.setdefault(k2, AverageMeter()).update(float(v))
+
+        msg = f"{len(ds)} pairs: " + "\t".join(
+            f"{k}: {v.avg:.3f}" for k, v in meters.items())
+        logger.write(msg + "\n")
+        print("score on", split, "\n", msg)
+
+    print("time cost average")
+    for line in timers.get_strings():
+        print(line)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--weights", default=None,
+                    help="npz checkpoint of the landmark model")
+    ap.add_argument("--splits", nargs="*", default=["4DMatch-F", "4DLoMatch-F"])
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args()
+
+    cfg = load_config(args.config)
+    lcfg = LandmarkConfig(inlier_thr=cfg.get("inlier_thr", 0.3),
+                          reject_outliers=cfg.get("reject_outliers", True))
+    scfg = SolverConfig(
+        pyramid=NDPConfig(m=cfg.get("m", 10), k0=cfg.get("k0", -8),
+                          depth=cfg.get("depth", 3), width=cfg.get("width", 128),
+                          rotation_format=cfg.get("rotation_format", "axis_angle"),
+                          motion=cfg.get("motion_type", "SE3")),
+        iters=cfg.get("iters", 500), lr=cfg.get("lr", 0.01),
+        samples=cfg.get("samples", 2000),
+        w_cd=cfg.get("w_cd", 0.0), trunc_cd=cfg.get("trunc_cd", 0.25))
+
+    params = init_landmark_model(jax.random.key(0), lcfg)
+    if args.weights:
+        params = load_pytree(args.weights, params)
+    else:
+        print("[warn] no --weights: running with random landmark-model "
+              "weights (pipeline validation only)")
+
+    run_eval(cfg, lcfg, params, scfg, args.splits, args.limit)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Train the NeCo outlier-rejection model (matcher frozen).
+
+TPU re-design of ``/root/reference/correspondence/main.py`` +
+``lib/trainer.py``: builds datasets and collate pyramids on the host, runs
+the jitted matcher-forward + NeCo-backward step on device.
+
+Usage:
+  python -m deformationpyramid_tpu.cli.train_neco --config config/LNDP.yaml \
+      --data-root /path/to/4dmatch [--epochs N] [--matcher-weights W.npz]
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.collate import build_pair_pyramid, calibrate_neighborhood_limits
+from ..data.fourdmatch import FourDMatchDataset
+from ..match.backbone import KPFCN_ARCHITECTURE
+from ..match.landmark import LandmarkConfig, init_landmark_model
+from ..train.trainer import TrainConfig, train_neco
+from ..utils.checkpoint import load_pytree
+from ..utils.config import load_config
+
+
+def _round_up(x, m=256):
+    return ((x + m - 1) // m) * m
+
+
+def interpolate_flow_to_coarse(coarse_src: np.ndarray, full_src: np.ndarray,
+                               flow: np.ndarray, knn: int = 3) -> np.ndarray:
+    """kNN inverse-distance flow blending (reference
+    ``datasets/utils.py:42-58`` blend_scene_flow)."""
+    d = ((coarse_src[:, None] - full_src[None]) ** 2).sum(-1)
+    idx = np.argsort(d, axis=1)[:, :knn]
+    nd = np.sqrt(np.take_along_axis(d, idx, axis=1))
+    w = 1.0 / np.maximum(nd, 1e-10)
+    w = w / w.sum(1, keepdims=True)
+    return (flow[idx] * w[..., None]).sum(1).astype(np.float32)
+
+
+def make_batch_stream(ds: FourDMatchDataset, lcfg: LandmarkConfig, limits):
+    """Yield device-ready training dicts, one pair at a time."""
+    cl = lcfg.matcher.coarse_level
+
+    def stream():
+        for i in range(len(ds)):
+            pair = ds[i]
+            pad0 = _round_up(len(pair.src) + len(pair.tgt))
+            pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
+                                     KPFCN_ARCHITECTURE, limits)
+            pad = [_round_up(len(p)) for p in pyr.points]
+            pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
+                                     KPFCN_ARCHITECTURE, limits, pad_to=pad)
+            n_c = pad[cl]
+            s_len = pyr.src_lengths[cl]
+            coarse_src = pyr.points[cl][:s_len]
+            cflow = interpolate_flow_to_coarse(coarse_src, pair.src,
+                                               pair.flow_gt)
+            # flow_gt here is already R(Ps+flow)+t - Ps; the loss wants the
+            # deformation-only flow with (rot, trans) applied separately, so
+            # recover it: flow_def = R^-1 (flow_gt + Ps - t) - Ps
+            flow_def = (pair.rot.T @ (cflow + coarse_src
+                                      - pair.trans.T).T).T - coarse_src
+            coarse_flow = np.zeros((n_c, 3), np.float32)
+            coarse_flow[:s_len] = flow_def
+            yield {
+                "pyramid": {
+                    "points": [jnp.array(p) for p in pyr.points],
+                    "valids": [jnp.array(v) for v in pyr.valids],
+                    "neighbors": [jnp.array(x) for x in pyr.neighbors],
+                    "pools": [jnp.array(x) for x in pyr.pools],
+                    "upsamples": [jnp.array(x) for x in pyr.upsamples],
+                    "features": jnp.array(pyr.features),
+                },
+                "src_len_c": jnp.int32(s_len),
+                "tgt_len_c": jnp.int32(pyr.tgt_lengths[cl]),
+                "coarse_flow": jnp.array(coarse_flow),
+                "gt_rot": jnp.array(pair.rot),
+                "gt_trn": jnp.array(pair.trans),
+            }
+
+    return stream
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--matcher-weights", default=None)
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args()
+
+    cfg = load_config(args.config)
+    data_root = args.data_root or cfg.get("data_root")
+    lcfg = LandmarkConfig()
+    ds = FourDMatchDataset(data_root, "train", augment=True)
+    if args.limit:
+        ds.entries = ds.entries[:args.limit]
+    if len(ds) == 0:
+        raise SystemExit(f"no training data under {data_root}/train")
+
+    params = init_landmark_model(jax.random.key(0), lcfg)
+    if args.matcher_weights:
+        params["matcher"] = load_pytree(args.matcher_weights, params["matcher"])
+
+    sample_pairs = [(ds[i].src, ds[i].tgt) for i in range(min(3, len(ds)))]
+    limits = calibrate_neighborhood_limits(sample_pairs, lcfg.matcher.kpfcn,
+                                           KPFCN_ARCHITECTURE)
+    tcfg = TrainConfig(max_epoch=args.epochs,
+                       optimizer=cfg.get("optimizer", "SGD"),
+                       lr=cfg.get("lr", 0.01))
+    train_neco(params["matcher"], params["neco"], lcfg, tcfg,
+               make_batch_stream(ds, lcfg, limits), steps_per_epoch=len(ds))
+
+
+if __name__ == "__main__":
+    main()

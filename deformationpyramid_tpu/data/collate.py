@@ -54,12 +54,22 @@ def grid_subsample(points: np.ndarray, dl: float,
     return sub, None
 
 
+def _native():
+    """Lazy import to avoid a cycle (native falls back onto this module)."""
+    from .. import native
+    return native if native.has_native() else None
+
+
 def batch_grid_subsample(points: np.ndarray, lengths: np.ndarray, dl: float):
     """Subsample each stacked cloud independently (reference ``:14-52``)."""
+    nat = _native()
     subs, new_lengths = [], []
     i0 = 0
     for n in lengths:
-        s, _ = grid_subsample(points[i0:i0 + n], dl)
+        if nat is not None:
+            s = nat.grid_subsample(points[i0:i0 + n], dl)
+        else:
+            s, _ = grid_subsample(points[i0:i0 + n], dl)
         subs.append(s)
         new_lengths.append(len(s))
         i0 += n
@@ -89,12 +99,17 @@ def radius_search(queries: np.ndarray, supports: np.ndarray, radius: float,
 
 def batch_radius_search(queries, q_lengths, supports, s_lengths, radius, max_k):
     """Per-cloud radius search on stacked arrays with global indices."""
+    nat = _native()
     out = []
     qi = si = 0
     n_total = int(np.sum(s_lengths))
     for qn, sn in zip(q_lengths, s_lengths):
-        idx = radius_search(queries[qi:qi + qn], supports[si:si + sn],
-                            radius, max_k)
+        if nat is not None:
+            idx = nat.radius_neighbors(queries[qi:qi + qn],
+                                       supports[si:si + sn], radius, max_k)
+        else:
+            idx = radius_search(queries[qi:qi + qn], supports[si:si + sn],
+                                radius, max_k)
         shadow = idx >= sn
         idx = idx + si
         idx[shadow] = n_total           # global shadow row

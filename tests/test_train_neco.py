@@ -1,0 +1,73 @@
+"""NeCo training-step smoke test: loss decreases over steps."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deformationpyramid_tpu.data.collate import (
+    build_pair_pyramid, calibrate_neighborhood_limits,
+)
+from deformationpyramid_tpu.data.synthetic import make_pair
+from deformationpyramid_tpu.match.backbone import KPFCN_ARCHITECTURE
+from deformationpyramid_tpu.match.kpconv import KPConvConfig
+from deformationpyramid_tpu.match.landmark import LandmarkConfig, init_landmark_model
+from deformationpyramid_tpu.match.matching import MatchingConfig
+from deformationpyramid_tpu.match.outlier_rejection import NeCoConfig
+from deformationpyramid_tpu.match.pipeline import MatcherConfig
+from deformationpyramid_tpu.match.position_encoding import VolPEConfig
+from deformationpyramid_tpu.match.transformer import TransformerConfig
+from deformationpyramid_tpu.train.trainer import (
+    TrainConfig, make_neco_train_step, make_optimizer, valid_gradient,
+)
+
+FD = 96
+
+
+def test_neco_train_step_reduces_loss():
+    kcfg = KPConvConfig(first_subsampling_dl=0.05, first_feats_dim=32,
+                        coarse_feature_dim=FD, fine_feature_dim=24)
+    vol = VolPEConfig(feature_dim=FD, vol_origin=(-2.0, -2.0, -2.0))
+    lcfg = LandmarkConfig(
+        matcher=MatcherConfig(
+            kpfcn=kcfg,
+            transformer=TransformerConfig(feature_dim=FD, n_head=4, vol=vol,
+                                          matching=MatchingConfig(feature_dim=FD)),
+            matching=MatchingConfig(feature_dim=FD), max_matches=32),
+        neco=NeCoConfig(feature_dim=48, n_head=4, num_layers=2))
+
+    src, tgt, flow = make_pair(n=400, seed=0, deform=0.05)
+    limits = calibrate_neighborhood_limits([(src, tgt)], kcfg,
+                                           KPFCN_ARCHITECTURE)
+    pyr = build_pair_pyramid(src, tgt, kcfg, KPFCN_ARCHITECTURE, limits)
+    pyrd = {"points": [jnp.array(p) for p in pyr.points],
+            "valids": [jnp.array(v) for v in pyr.valids],
+            "neighbors": [jnp.array(x) for x in pyr.neighbors],
+            "pools": [jnp.array(x) for x in pyr.pools],
+            "upsamples": [jnp.array(x) for x in pyr.upsamples],
+            "features": jnp.array(pyr.features)}
+    n_c = len(pyr.points[2])
+    coarse_flow = jnp.zeros((n_c, 3))
+
+    params = init_landmark_model(jax.random.key(0), lcfg)
+    tcfg = TrainConfig(optimizer="Adam", lr=1e-3, max_epoch=1)
+    opt = make_optimizer(tcfg, steps_per_epoch=1)
+    step = make_neco_train_step(params["matcher"], lcfg, opt)
+    opt_state = opt.init(params["neco"])
+
+    neco = params["neco"]
+    losses = []
+    for _ in range(5):
+        neco, opt_state, loss, info, ok = step(
+            neco, opt_state, pyrd, jnp.int32(pyr.src_lengths[2]),
+            jnp.int32(pyr.tgt_lengths[2]), coarse_flow,
+            jnp.eye(3), jnp.zeros((3, 1)))
+        assert bool(ok)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_valid_gradient_guard():
+    good = {"a": jnp.ones((3,)), "b": [jnp.zeros((2, 2))]}
+    bad = {"a": jnp.array([1.0, jnp.nan, 2.0]), "b": [jnp.zeros((2, 2))]}
+    assert bool(valid_gradient(good))
+    assert not bool(valid_gradient(bad))
