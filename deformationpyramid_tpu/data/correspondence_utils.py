@@ -1,0 +1,45 @@
+"""Host-side correspondence utilities.
+
+Reference parity: ``knn_point_np`` / ``multual_nn_correspondence``
+(``/root/reference/model/geometry.py:392-450``) and ``blend_scene_flow``
+(``correspondence/datasets/utils.py:42-58``) — numpy helpers used for GT
+coarse-match construction and flow interpolation in the data pipeline.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def knn_point_np(k: int, reference_pts: np.ndarray, query_pts: np.ndarray):
+    """kNN of query in reference; returns (dists [Q,k], idx [Q,k])."""
+    d = np.linalg.norm(query_pts[:, None] - reference_pts[None], axis=-1)
+    idx = np.argsort(d, axis=1)[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+def mutual_nn_correspondence(src_warped: np.ndarray, tgt: np.ndarray,
+                             search_radius: float = 0.3, knn: int = 1) -> np.ndarray:
+    """Mutual nearest neighbors within a radius -> [M, 2] (src, tgt) indices.
+
+    Matches ``multual_nn_correspondence`` (``model/geometry.py:432-450``).
+    """
+    if len(src_warped) == 0 or len(tgt) == 0:
+        return np.zeros((0, 2), np.int64)
+    d_s2t = np.linalg.norm(src_warped[:, None] - tgt[None], axis=-1)
+    s2t = d_s2t.argmin(1)
+    t2s = d_s2t.argmin(0)
+    src_idx = np.arange(len(src_warped))
+    mutual = t2s[s2t] == src_idx
+    within = d_s2t[src_idx, s2t] < search_radius
+    keep = mutual & within
+    return np.stack([src_idx[keep], s2t[keep]], 1).astype(np.int64)
+
+
+def blend_scene_flow(query_pts: np.ndarray, anchor_pts: np.ndarray,
+                     anchor_flow: np.ndarray, knn: int = 3) -> np.ndarray:
+    """IDW-blend flow from k nearest anchors (``datasets/utils.py:42-58``)."""
+    dists, idx = knn_point_np(knn, anchor_pts, query_pts)
+    dists = np.maximum(dists, 1e-10)
+    w = 1.0 / dists
+    w = w / w.sum(1, keepdims=True)
+    return (anchor_flow[idx] * w[..., None]).sum(1).astype(np.float32)

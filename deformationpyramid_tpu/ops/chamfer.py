@@ -21,17 +21,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .knn import nn_argmin
+from .knn import nn_argmin, nn_argmin_dual
 
 Array = jax.Array
 
 
-def _one_sided(x: Array, y: Array, x_valid: Array | None, y_valid: Array | None,
-               trunc: float | Array, use_pallas: bool | None) -> tuple[Array, Array]:
-    """Sum over x of sqrt(min_j ||x_i - y_j||^2), truncated; returns (sum, idx)."""
-    _, idx = nn_argmin(jax.lax.stop_gradient(x), jax.lax.stop_gradient(y),
-                       y_valid=y_valid, use_pallas=use_pallas)
-    nn = y[idx]  # differentiable gather
+def _gathered_sum(x: Array, y: Array, idx: Array, x_valid: Array | None,
+                  trunc: float | Array) -> Array:
+    """Sum over x of sqrt(||x_i - y[idx_i]||^2), truncated; differentiable
+    through both the query and the gathered database points."""
+    nn = y[idx]
     sq = jnp.sum((x - nn) ** 2, axis=-1)
     keep = sq < trunc
     if x_valid is not None:
@@ -40,7 +39,15 @@ def _one_sided(x: Array, y: Array, x_valid: Array | None, y_valid: Array | None,
     # floor guards d == 0 exactly (value error <= 1e-8, below metric noise).
     safe = jnp.where(keep, jnp.maximum(sq, 1e-16), 1.0)
     contrib = jnp.where(keep, jnp.sqrt(safe), 0.0)
-    return jnp.sum(contrib), idx
+    return jnp.sum(contrib)
+
+
+def _one_sided(x: Array, y: Array, x_valid: Array | None, y_valid: Array | None,
+               trunc: float | Array, use_pallas: bool | None) -> tuple[Array, Array]:
+    """Sum over x of sqrt(min_j ||x_i - y_j||^2), truncated; returns (sum, idx)."""
+    _, idx = nn_argmin(jax.lax.stop_gradient(x), jax.lax.stop_gradient(y),
+                       y_valid=y_valid, use_pallas=use_pallas)
+    return _gathered_sum(x, y, idx, x_valid, trunc), idx
 
 
 def truncated_chamfer(x: Array, y: Array,
@@ -62,8 +69,15 @@ def truncated_chamfer(x: Array, y: Array,
         x_length = jnp.sum(x_valid) if x_valid is not None else n
     if y_length is None:
         y_length = jnp.sum(y_valid) if y_valid is not None else m
-    sum_x, _ = _one_sided(x, y, x_valid, y_valid, trunc, use_pallas)
-    sum_y, _ = _one_sided(y, x, y_valid, x_valid, trunc, use_pallas)
+    # One fused sweep yields both directions' argmins (on TPU the N x M
+    # distance tiles are computed once and never leave VMEM); the
+    # differentiable loss is rebuilt from gathers.
+    sx = jax.lax.stop_gradient(x)
+    sy = jax.lax.stop_gradient(y)
+    _, idx_x, _, idx_y = nn_argmin_dual(sx, sy, x_valid=x_valid,
+                                        y_valid=y_valid, use_pallas=use_pallas)
+    sum_x = _gathered_sum(x, y, idx_x, x_valid, trunc)
+    sum_y = _gathered_sum(y, x, idx_y, y_valid, trunc)
     return sum_x / x_length + sum_y / y_length
 
 

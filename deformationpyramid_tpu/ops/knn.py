@@ -153,6 +153,140 @@ def nn_argmin_pallas(x: Array, y: Array, y_valid: Array | None = None,
     return dist[:n], idx[:n]
 
 
+def _nn_dual_kernel(x_ref, y_ref, x2_ref, y2_ref,
+                    rdist_ref, ridx_ref, cdist_ref, cidx_ref,
+                    cmin_scr, carg_scr, *, tn: int):
+    """One x-tile vs full y: row (x->y) min/argmin written per tile, column
+    (y->x) running min/argmin accumulated in VMEM scratch across the
+    sequential TPU grid, flushed at the last tile.
+
+    x2/y2 carry +BIG at padded/invalid rows so they never win either min.
+    """
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    x = x_ref[:]                    # [TN, D]
+    y = y_ref[:]                    # [M, D]
+    x2 = x2_ref[0, :]               # [TN]
+    y2 = y2_ref[0, :]               # [M]
+    d = x2[:, None] + y2[None, :] - 2.0 * jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    # rows: nearest y for each x in this tile
+    row_min = jnp.min(d, axis=1, keepdims=True)          # [TN, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    row_arg = jnp.min(jnp.where(d <= row_min, cols, jnp.int32(2**30)),
+                      axis=1, keepdims=True)
+    rdist_ref[:] = jnp.maximum(row_min, 0.0)
+    ridx_ref[:] = row_arg
+
+    # columns: fold this tile into the running y->x minima
+    tile_min = jnp.min(d, axis=0)                        # [M]
+    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + i * tn
+    tile_arg = jnp.min(jnp.where(d <= tile_min[None, :], rows,
+                                 jnp.int32(2**30)), axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        cmin_scr[0, :] = tile_min
+        carg_scr[0, :] = tile_arg
+
+    @pl.when(i > 0)
+    def _():
+        better = tile_min < cmin_scr[0, :]
+        cmin_scr[0, :] = jnp.where(better, tile_min, cmin_scr[0, :])
+        carg_scr[0, :] = jnp.where(better, tile_arg, carg_scr[0, :])
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        cdist_ref[0, :] = jnp.maximum(cmin_scr[0, :], 0.0)
+        cidx_ref[0, :] = carg_scr[0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tn",))
+def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
+                           tn: int = 256):
+    n_pad, d = x_pad.shape
+    m_pad = y_pad.shape[0]
+    kernel = functools.partial(_nn_dual_kernel, tn=tn)
+    grid = (n_pad // tn,)
+    rdist, ridx, cdist, cidx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, m_pad), jnp.float32),
+            pltpu.VMEM((1, m_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * (d + 4),
+            bytes_accessed=(n_pad * d + m_pad * d + 2 * (n_pad + m_pad)) * 4,
+            transcendentals=0,
+        ),
+    )(x_pad, y_pad, x2[None, :], y2[None, :])
+    return rdist[:, 0], ridx[:, 0], cdist[0], cidx[0]
+
+
+def nn_argmin_dual_pallas(x: Array, y: Array,
+                          x_valid: Array | None = None,
+                          y_valid: Array | None = None,
+                          tn: int = 256) -> tuple[Array, Array, Array, Array]:
+    """Both-direction 1-NN in a single distance-tile sweep.
+
+    Returns (sq_x2y [N], idx_x2y [N], sq_y2x [M], idx_y2x [M]). The fused
+    pass halves the N x M work of calling :func:`nn_argmin` twice and keeps
+    the distance matrix entirely in VMEM — the Chamfer hot path.
+    """
+    n, d = x.shape
+    m = y.shape[0]
+    n_pad = _round_up(max(n, tn), tn)
+    m_pad = _round_up(max(m, 128), 128)
+    x_pad = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(x.astype(jnp.float32))
+    y_pad = jnp.zeros((m_pad, d), jnp.float32).at[:m].set(y.astype(jnp.float32))
+    x2 = jnp.sum(x_pad * x_pad, axis=-1)
+    y2 = jnp.sum(y_pad * y_pad, axis=-1)
+    xv = jnp.arange(n_pad) < n
+    if x_valid is not None:
+        xv = xv & jnp.pad(x_valid, (0, n_pad - n), constant_values=False)
+    yv = jnp.arange(m_pad) < m
+    if y_valid is not None:
+        yv = yv & jnp.pad(y_valid, (0, m_pad - m), constant_values=False)
+    x2 = jnp.where(xv, x2, _BIG)
+    y2 = jnp.where(yv, y2, _BIG)
+    rdist, ridx, cdist, cidx = _nn_dual_pallas_padded(x_pad, y_pad, x2, y2, tn=tn)
+    return rdist[:n], ridx[:n], cdist[:m], cidx[:m]
+
+
+def nn_argmin_dual(x: Array, y: Array,
+                   x_valid: Array | None = None,
+                   y_valid: Array | None = None,
+                   use_pallas: bool | None = None):
+    """Dispatch: fused Pallas sweep on TPU, two XLA argmins elsewhere."""
+    if use_pallas is None:
+        use_pallas = _HAS_PLTPU and on_tpu()
+    if use_pallas:
+        return nn_argmin_dual_pallas(x, y, x_valid, y_valid)
+    sq_x, idx_x = nn_argmin_xla(x, y, y_valid)
+    sq_y, idx_y = nn_argmin_xla(y, x, x_valid)
+    return sq_x, idx_x, sq_y, idx_y
+
+
 def on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
