@@ -155,12 +155,14 @@ def nn_argmin_pallas(x: Array, y: Array, y_valid: Array | None = None,
 
 def _nn_dual_kernel(x_ref, y_ref, x2_ref, y2_ref,
                     rdist_ref, ridx_ref, cdist_ref, cidx_ref,
-                    cmin_scr, carg_scr, *, tn: int):
+                    cmin_scr, carg_scr, *, tn: int, elementwise: bool):
     """One x-tile vs full y: row (x->y) min/argmin written per tile, column
     (y->x) running min/argmin accumulated in VMEM scratch across the
     sequential TPU grid, flushed at the last tile.
 
     x2/y2 carry +BIG at padded/invalid rows so they never win either min.
+    ``elementwise=True`` computes distances as three broadcast FMA passes on
+    the VPU instead of a K=3 matmul (the MXU is badly utilized at K=3).
     """
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -168,8 +170,14 @@ def _nn_dual_kernel(x_ref, y_ref, x2_ref, y2_ref,
     y = y_ref[:]                    # [M, D]
     x2 = x2_ref[0, :]               # [TN]
     y2 = y2_ref[0, :]               # [M]
-    d = x2[:, None] + y2[None, :] - 2.0 * jax.lax.dot_general(
-        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if elementwise:
+        d = x2[:, None] + y2[None, :] - 2.0 * (
+            x[:, 0:1] * y[:, 0][None, :]
+            + x[:, 1:2] * y[:, 1][None, :]
+            + x[:, 2:3] * y[:, 2][None, :])
+    else:
+        d = x2[:, None] + y2[None, :] - 2.0 * jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
     # rows: nearest y for each x in this tile
     row_min = jnp.min(d, axis=1, keepdims=True)          # [TN, 1]
@@ -202,12 +210,13 @@ def _nn_dual_kernel(x_ref, y_ref, x2_ref, y2_ref,
         cidx_ref[0, :] = carg_scr[0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("tn",))
+@functools.partial(jax.jit, static_argnames=("tn", "elementwise"))
 def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
-                           tn: int = 256):
+                           tn: int = 256, elementwise: bool = False):
     n_pad, d = x_pad.shape
     m_pad = y_pad.shape[0]
-    kernel = functools.partial(_nn_dual_kernel, tn=tn)
+    kernel = functools.partial(_nn_dual_kernel, tn=tn,
+                               elementwise=elementwise and d == 3)
     grid = (n_pad // tn,)
     rdist, ridx, cdist, cidx = pl.pallas_call(
         kernel,
