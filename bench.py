@@ -4,9 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: full reference NDP configuration (config/NDP.yaml: m=9, k0=-8,
 depth=3, width=128, iters=500/level, lr=0.01, samples=2000, SE3+axis_angle,
-early-stop 15@0.001) on synthetic deformable pairs, batched via vmap so the
-chip solves many pairs concurrently — vs the reference's strictly sequential
-per-pair PyTorch loop (eval_nolearned.py:70).
+early-stop 15@0.001) on synthetic deformable pairs — vs the reference's
+strictly sequential per-pair PyTorch loop (eval_nolearned.py:70).
+
+Batching strategy (measured, see CLAUDE.md): per-iteration cost is linear in
+the vmap width even at B=4 (the chip saturates on a single pair's work), so
+large batches only add lockstep-tail waste — the batched while_loop runs
+until the slowest pair converges. Small chunks win: B=4 chunks streamed
+back-to-back.
 
 Baseline: the NDP paper/reference reports ~1.5 s/pair on a desktop GPU
 (sequential Adam loop with a host sync per iteration); BASELINE.md records no
@@ -36,26 +41,31 @@ CFG = SolverConfig(
 )
 
 
-def main(batch: int = 16, n_points: int = 2000) -> None:
-    srcs, tgts, _ = make_batch(batch, n=n_points, seed=0, deform=0.12)
-    keys = jax.random.split(jax.random.key(0), batch)
-
+def main(chunk: int = 4, total: int = 16, n_points: int = 2000) -> None:
     fn = jax.jit(lambda k, s, t: register_batch(k, s, t, CFG))
 
-    # compile + warm-up on one batch (np.asarray forces a real device sync;
+    # compile + warm-up (np.asarray forces a real device sync;
     # block_until_ready is not reliable on tunneled device buffers)
-    warped, stats = fn(keys, jnp.array(srcs), jnp.array(tgts))
+    srcs, tgts, _ = make_batch(chunk, n=n_points, seed=0, deform=0.12)
+    keys = jax.random.split(jax.random.key(0), chunk)
+    warped, _ = fn(keys, jnp.array(srcs), jnp.array(tgts))
     np.asarray(warped)
 
-    # timed run on fresh data (new keys -> no caching of results)
-    srcs2, tgts2, _ = make_batch(batch, n=n_points, seed=100, deform=0.12)
-    keys2 = jax.random.split(jax.random.key(1), batch)
+    # pre-stage all timed chunks on host so host-side generation is excluded
+    chunks = []
+    for c in range(total // chunk):
+        s2, t2, _ = make_batch(chunk, n=n_points, seed=100 + c * chunk,
+                               deform=0.12)
+        chunks.append((jax.random.split(jax.random.key(10 + c), chunk),
+                       jnp.array(s2), jnp.array(t2)))
+
     t0 = time.perf_counter()
-    warped, stats = fn(keys2, jnp.array(srcs2), jnp.array(tgts2))
-    np.asarray(warped)
+    outs = [fn(k, s, t)[0] for (k, s, t) in chunks]  # async stream
+    for w in outs:
+        np.asarray(w)
     dt = time.perf_counter() - t0
 
-    pairs_per_sec = batch / dt
+    pairs_per_sec = total / dt
     print(json.dumps({
         "metric": "ndp_registration_throughput",
         "value": round(pairs_per_sec, 3),
