@@ -124,8 +124,16 @@ def main():
     args = ap.parse_args()
 
     cfg = load_config(args.config)
-    lcfg = LandmarkConfig(inlier_thr=cfg.get("inlier_thr", 0.3),
-                          reject_outliers=cfg.get("reject_outliers", True))
+    ldmk_yaml = cfg.get("ldmk_config")
+    if ldmk_yaml and os.path.exists(ldmk_yaml):
+        from ..match.config_loader import landmark_config_from_yaml
+
+        lcfg = landmark_config_from_yaml(
+            ldmk_yaml, inlier_thr=cfg.get("inlier_thr", 0.3),
+            reject_outliers=cfg.get("reject_outliers", True))
+    else:
+        lcfg = LandmarkConfig(inlier_thr=cfg.get("inlier_thr", 0.3),
+                              reject_outliers=cfg.get("reject_outliers", True))
     scfg = SolverConfig(
         pyramid=NDPConfig(m=cfg.get("m", 10), k0=cfg.get("k0", -8),
                           depth=cfg.get("depth", 3), width=cfg.get("width", 128),

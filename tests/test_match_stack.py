@@ -252,3 +252,13 @@ def test_landmark_inference_feeds_registration():
         jax.random.key(2), jnp.array(src), jnp.array(tgt),
         data["ldmk_s"], data["ldmk_t"], data["ldmk_valid"])
     assert np.isfinite(np.asarray(warped)).all()
+
+
+def test_config_loader_tree():
+    from deformationpyramid_tpu.match.config_loader import landmark_config_from_yaml
+
+    lcfg = landmark_config_from_yaml("config/configs/correspondence.yaml")
+    assert lcfg.matcher.transformer.feature_dim == 528
+    assert lcfg.matcher.coarse_level == 2
+    assert lcfg.neco.num_layers == 9 and lcfg.neco.feature_dim == 144
+    assert lcfg.matcher.transformer.vol.vol_origin == (-3.6, -2.4, 1.14)
