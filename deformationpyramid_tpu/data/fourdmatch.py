@@ -36,6 +36,8 @@ class Pair:
     trans: np.ndarray         # [3, 1]
     correspondences: np.ndarray  # [C, 2] int
     name: str = ""
+    depth_paths: tuple[str, str] | None = None   # (src, tgt) raw depth maps
+    cam_intrin: np.ndarray | None = None         # [3, 3]
 
 
 class FourDMatchDataset:
@@ -57,13 +59,22 @@ class FourDMatchDataset:
         return len(self.entries)
 
     def __getitem__(self, i: int) -> Pair:
-        with np.load(self.entries[i]) as z:
+        with np.load(self.entries[i], allow_pickle=True) as z:
             rot = z["rot"].astype(np.float32)
             trans = z["trans"].astype(np.float32).reshape(3, 1)
             s_pc = z["s_pc"].astype(np.float32)
             t_pc = z["t_pc"].astype(np.float32)
             flow = z["s2t_flow"].astype(np.float32)
             corr = z["correspondences"].astype(np.int64)
+            # optional raw depth-map paths for the ED/N-ICP path
+            # (reference _4dmatch.py:75-89)
+            depth_paths = None
+            cam_intrin = None
+            if "depth_paths" in z.files:
+                dp = z["depth_paths"]
+                depth_paths = (str(dp[0]), str(dp[1]))
+            if "cam_intrin" in z.files:
+                cam_intrin = z["cam_intrin"].astype(np.float64)
 
         # random cap at max_points, keeping flow/correspondence alignment
         if len(s_pc) > self.max_points:
@@ -91,7 +102,8 @@ class FourDMatchDataset:
         overlap[corr[:, 0]] = True
         return Pair(src=s_pc, tgt=t_pc, flow_gt=flow_gt, overlap=overlap,
                     rot=rot, trans=trans, correspondences=corr,
-                    name=self.entries[i])
+                    name=self.entries[i], depth_paths=depth_paths,
+                    cam_intrin=cam_intrin)
 
     def _augment(self, s_pc, t_pc, rot, trans):
         """Random SO(3) on src or tgt + noise (``_4dmatch.py:116-131``)."""
