@@ -81,8 +81,13 @@ def apply_kpconv(p: dict, q_pts: Array, s_pts: Array, neighb: Array,
     x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
 
     neighbors = s_pad[neighb] - q_pts[:, None]          # [Nq, K, 3]
-    diff = neighbors[:, :, None, :] - kernel_points      # [Nq, K, Kp, 3]
-    sq = jnp.sum(diff * diff, axis=-1)                   # [Nq, K, Kp]
+    # ||n - kp||^2 expanded: avoids materializing the [Nq, K, Kp, 3]
+    # difference tensor (432 MB at full 60k-point scale)
+    n2 = jnp.sum(neighbors * neighbors, axis=-1)         # [Nq, K]
+    kp2 = jnp.sum(kernel_points * kernel_points, axis=-1)  # [Kp]
+    cross = jnp.einsum("nkd,pd->nkp", neighbors, kernel_points)
+    sq = n2[:, :, None] + kp2[None, None, :] - 2.0 * cross  # [Nq, K, Kp]
+    sq = jnp.maximum(sq, 0.0)
 
     if cfg.KP_influence == "constant":
         w = jnp.ones_like(sq)

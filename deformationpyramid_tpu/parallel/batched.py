@@ -70,6 +70,53 @@ def aggregate_metrics_sharded(mesh: Mesh):
     return jax.jit(fn)
 
 
+def neco_train_step_sharded(mesh: Mesh, matcher_params, lcfg):
+    """Data-parallel NeCo training step: per-shard loss grads all-reduced
+    with ``psum`` over the data axis — the canonical DP training collective
+    (the per-pair registration itself needs none; the learned stack's
+    training is where gradient all-reduce appears).
+
+    Returns fn(neco_params, batch) -> (new_params, mean_loss) where batch is
+    a dict of leading-batch-axis arrays: pyramid levels, coarse lengths,
+    coarse_flow, gt_rot, gt_trn. neco_params are replicated.
+    """
+    from ..match.losses import neco_loss
+    from ..match.outlier_rejection import apply_neco
+    from ..match.pipeline import apply_matcher
+
+    def pair_loss(neco_params, pyramid, s_len, t_len, cflow, rot, trn):
+        data = apply_matcher(jax.lax.stop_gradient(matcher_params), pyramid,
+                             s_len, t_len, lcfg.matcher)
+        conf = apply_neco(neco_params, data["vec_6d"], data["vec_6d_mask"],
+                          lcfg.neco)
+        loss, _ = neco_loss(conf, data["vec_6d"], data["vec_6d_mask"],
+                            data["vec_6d_ind"], data["s_pcd"], cflow, rot, trn)
+        return loss
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(neco_params, batch):
+        def shard_loss(p):
+            losses = jax.vmap(pair_loss, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                p, batch["pyramid"], batch["src_len_c"], batch["tgt_len_c"],
+                batch["coarse_flow"], batch["gt_rot"], batch["gt_trn"])
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(shard_loss)(neco_params)
+        # gradient + loss all-reduce across the data axis
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        new_params = jax.tree.map(lambda p, g: p - 1e-3 * g, neco_params, grads)
+        return new_params, loss
+
+    return jax.jit(step)
+
+
 def sharded_nn_min(mesh: Mesh):
     """Intra-pair sharded 1-NN: target points split over the model axis.
 
