@@ -137,9 +137,11 @@ def init_kpfcn(key: Array, cfg: KPConvConfig,
     enc = []
     for bp in plan.encoder:
         if bp.type == "simple":
-            enc.append(init_simple_block(next(keys), bp.in_dim, bp.out_dim, cfg))
+            enc.append(init_simple_block(next(keys), bp.in_dim, bp.out_dim,
+                                         bp.radius, cfg))
         else:
-            enc.append(init_resnetb_block(next(keys), bp.in_dim, bp.out_dim, cfg))
+            enc.append(init_resnetb_block(next(keys), bp.in_dim, bp.out_dim,
+                                          bp.radius, cfg))
     dec = []
     for bp in plan.decoder:
         if bp.type == "unary":

@@ -56,26 +56,29 @@ def _kaiming_uniform(key, shape, fan_in):
     return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
 
 
-def init_kpconv(key: Array, in_ch: int, out_ch: int, cfg: KPConvConfig) -> dict:
-    """Trainable arrays only; geometry (kernel points, extent) is static and
-    recomputed at apply time from the block plan so the param tree stays
-    pure-float for grad/optax."""
+def init_kpconv(key: Array, in_ch: int, out_ch: int, radius: float,
+                cfg: KPConvConfig) -> dict:
+    """Params hold the trainable weights plus the kernel-point disposition
+    as a non-trainable float buffer (stop-gradient at apply; zero update
+    under any optimizer). Keeping dispositions in the tree mirrors the
+    reference's per-module ``kernel_points`` buffers so torch checkpoints
+    port them directly (each module's disposition differs by the random
+    rotation applied at load, ``kernels/kernel_points.py:433-470``)."""
     k = cfg.num_kernel_points
     return {
         "weights": _kaiming_uniform(key, (k, in_ch, out_ch), in_ch * k),
+        "kernel_points": jnp.asarray(kernel_dispositions(
+            k, cfg.in_points_dim, cfg.fixed_kernel_points, radius)),
     }
 
 
 def apply_kpconv(p: dict, q_pts: Array, s_pts: Array, neighb: Array,
-                 x: Array, radius: float, extent: float,
-                 cfg: KPConvConfig) -> Array:
+                 x: Array, extent: float, cfg: KPConvConfig) -> Array:
     """q_pts [Nq, 3], s_pts [Ns, 3], neighb [Nq, K] (shadow = Ns), x [Ns, C].
 
     Mirrors ``KPConv.forward`` (``blocks.py:229-374``), rigid path.
     """
-    kernel_points = jnp.asarray(kernel_dispositions(
-        cfg.num_kernel_points, cfg.in_points_dim, cfg.fixed_kernel_points,
-        radius))
+    kernel_points = jax.lax.stop_gradient(p["kernel_points"])
     s_pad = jnp.concatenate([s_pts, jnp.full((1, s_pts.shape[1]), 1e6,
                                              s_pts.dtype)], axis=0)
     x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
@@ -160,9 +163,9 @@ def apply_unary(p: dict, x: Array, valid: Array | None, cfg: KPConvConfig,
     return x
 
 
-def init_simple_block(key: Array, in_dim: int, out_dim: int,
+def init_simple_block(key: Array, in_dim: int, out_dim: int, radius: float,
                       cfg: KPConvConfig) -> dict:
-    p = {"kpconv": init_kpconv(key, in_dim, out_dim // 2, cfg)}
+    p = {"kpconv": init_kpconv(key, in_dim, out_dim // 2, radius, cfg)}
     if not cfg.use_batch_norm:
         p["bias"] = jnp.zeros((out_dim // 2,))
     return p
@@ -171,17 +174,17 @@ def init_simple_block(key: Array, in_dim: int, out_dim: int,
 def apply_simple_block(p: dict, x: Array, q_pts, s_pts, neighb, q_valid,
                        radius: float, cfg: KPConvConfig) -> Array:
     extent = radius * cfg.KP_extent / cfg.conv_radius
-    x = apply_kpconv(p["kpconv"], q_pts, s_pts, neighb, x, radius, extent, cfg)
+    x = apply_kpconv(p["kpconv"], q_pts, s_pts, neighb, x, extent, cfg)
     return leaky_relu(instance_norm(x, q_valid, cfg.use_batch_norm, p.get("bias")))
 
 
-def init_resnetb_block(key: Array, in_dim: int, out_dim: int,
+def init_resnetb_block(key: Array, in_dim: int, out_dim: int, radius: float,
                        cfg: KPConvConfig) -> dict:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     p: dict[str, Any] = {}
     if in_dim != out_dim // 4:
         p["unary1"] = init_unary(k1, in_dim, out_dim // 4, cfg)
-    p["kpconv"] = init_kpconv(k2, out_dim // 4, out_dim // 4, cfg)
+    p["kpconv"] = init_kpconv(k2, out_dim // 4, out_dim // 4, radius, cfg)
     if not cfg.use_batch_norm:
         p["bias_conv"] = jnp.zeros((out_dim // 4,))
     p["unary2"] = init_unary(k3, out_dim // 4, out_dim, cfg)
@@ -209,7 +212,7 @@ def apply_resnetb_block(p: dict, features: Array, q_pts, s_pts, neighb,
     x = features
     if "unary1" in p:
         x = apply_unary(p["unary1"], x, s_valid, cfg)
-    x = apply_kpconv(p["kpconv"], q_pts, s_pts, neighb, x, radius, extent, cfg)
+    x = apply_kpconv(p["kpconv"], q_pts, s_pts, neighb, x, extent, cfg)
     x = leaky_relu(instance_norm(x, q_valid, cfg.use_batch_norm,
                                  p.get("bias_conv")))
     x = apply_unary(p["unary2"], x, q_valid, cfg, no_relu=True)

@@ -67,12 +67,13 @@ def init_neco(key: Array, cfg: NeCoConfig = NeCoConfig()) -> dict:
 
 
 def _vol_pe_6d(vec6d: Array, cfg: NeCoConfig) -> Array:
-    """Volumetric PE generalized to 6D coords (reference reuses the 3D VolPE
-    on the 6D vector via its per-axis structure: d//6 freqs x 6 axes)."""
+    """NeCo's 6D volumetric PE: the source and target halves each get a
+    3-axis encoding at feature_dim//2 and concatenate
+    (``outlier_rejection/position_encoding.py:45-55``). That module's
+    voxelize has NO volume origin (``:19``), unlike lepard's."""
     import math
     xyz = jax.lax.stop_gradient(vec6d)
-    origin = jnp.asarray(list(cfg.vol.vol_origin) * 2, xyz.dtype)
-    vox = (xyz - origin) / cfg.vol.voxel_size
+    vox = xyz / cfg.voxel_size
     d6 = cfg.feature_dim // 6
     div = jnp.exp(jnp.arange(0, d6, 2, dtype=jnp.float32)
                   * (-math.log(10000.0) / d6))

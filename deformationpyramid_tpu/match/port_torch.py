@@ -92,6 +92,8 @@ def port_matcher(sd: dict[str, np.ndarray], params: dict,
     for i, blk in enumerate(enc):
         pfx = f"backbone.encoder_blocks.{i}"
         _set(blk, ["kpconv", "weights"], pt.take(f"{pfx}.KPConv.weights"))
+        _set(blk, ["kpconv", "kernel_points"],
+             pt.take(f"{pfx}.KPConv.kernel_points"))
         for ours, theirs in (("unary1", "unary1"), ("unary2", "unary2"),
                              ("shortcut", "unary_shortcut")):
             if ours in blk:

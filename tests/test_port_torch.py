@@ -51,6 +51,8 @@ def test_port_matcher_maps_all_our_leaves():
         pfx = f"backbone.encoder_blocks.{i}"
         sd[f"{pfx}.KPConv.weights"] = rng.normal(
             size=np.shape(blk["kpconv"]["weights"])).astype(np.float32)
+        sd[f"{pfx}.KPConv.kernel_points"] = rng.normal(
+            size=np.shape(blk["kpconv"]["kernel_points"])).astype(np.float32)
         for ours, theirs in (("unary1", "unary1"), ("unary2", "unary2"),
                              ("shortcut", "unary_shortcut")):
             if ours in blk:
