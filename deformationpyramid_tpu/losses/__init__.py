@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.chamfer import truncated_chamfer, batched_truncated_chamfer  # noqa: F401
+from ..ops.render import silhouette_cost, point_2_plane_distance  # noqa: F401
 
 Array = jax.Array
 
