@@ -41,6 +41,29 @@ CFG = SolverConfig(
 )
 
 
+def main_streaming(total: int = 16, n_slots: int = 4, n_points: int = 2000,
+                   k_inner: int = 100) -> None:
+    """Continuous-batching variant (solve/streaming.py): no lockstep tail."""
+    from deformationpyramid_tpu.solve.streaming import register_stream
+
+    srcs, tgts, _ = make_batch(total + n_slots, n=n_points, seed=0, deform=0.12)
+    pairs = [(srcs[i], tgts[i]) for i in range(total + n_slots)]
+    # warm-up/compile on the first n_slots pairs
+    register_stream(pairs[:n_slots], CFG, n_slots=n_slots, k_inner=k_inner,
+                    key=jax.random.key(0))
+    t0 = time.perf_counter()
+    register_stream(pairs[n_slots:], CFG, n_slots=n_slots, k_inner=k_inner,
+                    key=jax.random.key(1))
+    dt = time.perf_counter() - t0
+    pairs_per_sec = total / dt
+    print(json.dumps({
+        "metric": "ndp_registration_throughput",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+    }))
+
+
 def main(chunk: int = 4, total: int = 16, n_points: int = 2000) -> None:
     fn = jax.jit(lambda k, s, t: register_batch(k, s, t, CFG))
 
@@ -75,4 +98,9 @@ def main(chunk: int = 4, total: int = 16, n_points: int = 2000) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--streaming" in sys.argv:
+        main_streaming()
+    else:
+        main()
