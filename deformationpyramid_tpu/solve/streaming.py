@@ -224,13 +224,20 @@ def register_stream(pairs, cfg: SolverConfig, n_slots: int = 4,
     state_b = jax.tree.map(lambda *xs: jnp.stack(xs), *first_states)
     active = len(first_states)
 
+    # Pipelined dispatch: keep the NEXT multi_step enqueued while the host
+    # inspects the previous step's done flags — otherwise the device idles
+    # for a full host round-trip between steps (ruinous over a remote
+    # tunnel). A finished slot runs at most one extra masked k_inner block
+    # before its refill lands; done slots are frozen no-ops, so results are
+    # unaffected.
+    state_ahead = multi_step(state_b)
     while active > 0:
-        state_b = multi_step(state_b)
-        done_flags = np.asarray(state_b["done"])
+        state_next = multi_step(state_ahead)            # enqueue ahead
+        done_flags = np.asarray(state_ahead["done"])    # sync the older step
         for slot, pair_idx in list(slot_to_pair.items()):
             if not done_flags[slot]:
                 continue
-            warped, iters = harvest(state_b, slot)
+            warped, iters = harvest(state_ahead, slot)
             results[pair_idx] = np.asarray(warped)
             del slot_to_pair[slot]
             active -= 1
@@ -238,8 +245,9 @@ def register_stream(pairs, cfg: SolverConfig, n_slots: int = 4,
                 key, sub = jax.random.split(key)
                 ps = init_one(sub, jnp.asarray(pairs[next_idx][0]),
                               jnp.asarray(pairs[next_idx][1]))
-                state_b = refill(state_b, slot, ps)
+                state_next = refill(state_next, slot, ps)
                 slot_to_pair[slot] = next_idx
                 next_idx += 1
                 active += 1
+        state_ahead = state_next
     return results
