@@ -212,7 +212,7 @@ def _nn_dual_kernel(x_ref, y_ref, x2_ref, y2_ref,
 
 @functools.partial(jax.jit, static_argnames=("tn", "elementwise"))
 def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
-                           tn: int = 256, elementwise: bool = False):
+                           tn: int = 512, elementwise: bool = False):
     n_pad, d = x_pad.shape
     m_pad = y_pad.shape[0]
     kernel = functools.partial(_nn_dual_kernel, tn=tn,
@@ -255,7 +255,7 @@ def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
 def nn_argmin_dual_pallas(x: Array, y: Array,
                           x_valid: Array | None = None,
                           y_valid: Array | None = None,
-                          tn: int = 256) -> tuple[Array, Array, Array, Array]:
+                          tn: int = 512) -> tuple[Array, Array, Array, Array]:
     """Both-direction 1-NN in a single distance-tile sweep.
 
     Returns (sq_x2y [N], idx_x2y [N], sq_y2x [M], idx_y2x [M]). The fused
