@@ -94,6 +94,9 @@ def main():
     ap.add_argument("--limit", type=int, default=None,
                     help="evaluate only the first N pairs per split")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip pairs already recorded in the split's "
+                         ".done file (eval-sweep resume, SURVEY.md §5)")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -115,6 +118,16 @@ def main():
         logger = Logger(os.path.join(snap_dir, split + ".log"))
         meters: dict[str, AverageMeter] = {}
         n_done = 0
+
+        # eval-sweep resume: drop entries recorded in the .done ledger
+        done_path = os.path.join(snap_dir, split + ".done")
+        if args.resume and os.path.exists(done_path):
+            with open(done_path) as f:
+                finished = set(f.read().split())
+            before = len(ds.entries)
+            ds.entries = [e for e in ds.entries if e not in finished]
+            print(f"[resume] {before - len(ds.entries)} pairs already done")
+        done_fw = open(done_path, "a")
 
         for batch in BucketBatcher(ds, args.batch):
             b = batch.src.shape[0]
@@ -154,6 +167,8 @@ def main():
                 for k2, v in m.items():
                     meters.setdefault(k2, AverageMeter()).update(float(v))
                 n_done += 1
+                done_fw.write(pair.name + "\n")
+                done_fw.flush()
 
         msg = f"{n_done}/{len(ds)}: " + "\t".join(
             f"{k}: {v.avg:.3f}" for k, v in meters.items())
