@@ -155,11 +155,15 @@ def nn_argmin_pallas(x: Array, y: Array, y_valid: Array | None = None,
 
 def _nn_dual_kernel(x_ref, y_ref, x2_ref, y2_ref,
                     rdist_ref, ridx_ref, cdist_ref, cidx_ref,
-                    cmin_scr, carg_scr, *, tn: int, elementwise: bool):
-    """One x-tile vs full y: row (x->y) min/argmin written per tile, column
-    (y->x) running min/argmin accumulated in VMEM scratch across the
-    sequential TPU grid, flushed at the last tile.
+                    cmin_scr, carg_scr, *, tn: int, tm: int, m_pad: int,
+                    elementwise: bool):
+    """One x-tile vs y (tiled): row (x->y) min/argmin written per x-tile,
+    column (y->x) running min/argmin accumulated in VMEM scratch across the
+    sequential TPU grid, flushed at the last x-tile.
 
+    The distance block is computed per (x-tile, y-tile) so VMEM holds at
+    most [tn, tm] floats regardless of cloud size (30k-point clouds are a
+    [512, 30720] = 63 MB block without inner tiling — over budget).
     x2/y2 carry +BIG at padded/invalid rows so they never win either min.
     ``elementwise=True`` computes distances as three broadcast FMA passes on
     the VPU instead of a K=3 matmul (the MXU is badly utilized at K=3).
@@ -167,42 +171,50 @@ def _nn_dual_kernel(x_ref, y_ref, x2_ref, y2_ref,
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     x = x_ref[:]                    # [TN, D]
-    y = y_ref[:]                    # [M, D]
     x2 = x2_ref[0, :]               # [TN]
-    y2 = y2_ref[0, :]               # [M]
-    if elementwise:
-        d = x2[:, None] + y2[None, :] - 2.0 * (
-            x[:, 0:1] * y[:, 0][None, :]
-            + x[:, 1:2] * y[:, 1][None, :]
-            + x[:, 2:3] * y[:, 2][None, :])
-    else:
-        d = x2[:, None] + y2[None, :] - 2.0 * jax.lax.dot_general(
-            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    n_ytiles = m_pad // tm
+    first_x = i == 0
 
-    # rows: nearest y for each x in this tile
-    row_min = jnp.min(d, axis=1, keepdims=True)          # [TN, 1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    row_arg = jnp.min(jnp.where(d <= row_min, cols, jnp.int32(2**30)),
-                      axis=1, keepdims=True)
-    rdist_ref[:] = jnp.maximum(row_min, 0.0)
-    ridx_ref[:] = row_arg
+    def ybody(j, carry):
+        best_d, best_i = carry      # [TN, 1] row running min/arg
+        y_t = y_ref[pl.ds(j * tm, tm), :]          # [TM, D]
+        y2_t = y2_ref[0, pl.ds(j * tm, tm)]        # [TM]
+        if elementwise:
+            d = x2[:, None] + y2_t[None, :] - 2.0 * (
+                x[:, 0:1] * y_t[:, 0][None, :]
+                + x[:, 1:2] * y_t[:, 1][None, :]
+                + x[:, 2:3] * y_t[:, 2][None, :])
+        else:
+            d = x2[:, None] + y2_t[None, :] - 2.0 * jax.lax.dot_general(
+                x, y_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-    # columns: fold this tile into the running y->x minima
-    tile_min = jnp.min(d, axis=0)                        # [M]
-    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + i * tn
-    tile_arg = jnp.min(jnp.where(d <= tile_min[None, :], rows,
-                                 jnp.int32(2**30)), axis=0)
+        # rows: fold this y-tile into the x-tile's running minima
+        tile_rmin = jnp.min(d, axis=1, keepdims=True)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + j * tm
+        tile_rarg = jnp.min(jnp.where(d <= tile_rmin, cols, jnp.int32(2**30)),
+                            axis=1, keepdims=True)
+        rbetter = tile_rmin < best_d
+        best_d = jnp.where(rbetter, tile_rmin, best_d)
+        best_i = jnp.where(rbetter, tile_rarg, best_i)
 
-    @pl.when(i == 0)
-    def _():
-        cmin_scr[0, :] = tile_min
-        carg_scr[0, :] = tile_arg
+        # columns: fold this x-tile into the global y->x scratch slice
+        tile_cmin = jnp.min(d, axis=0)                   # [TM]
+        rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + i * tn
+        tile_carg = jnp.min(jnp.where(d <= tile_cmin[None, :], rows,
+                                      jnp.int32(2**30)), axis=0)
+        prev_min = cmin_scr[0, pl.ds(j * tm, tm)]
+        prev_arg = carg_scr[0, pl.ds(j * tm, tm)]
+        cbetter = first_x | (tile_cmin < prev_min)
+        cmin_scr[0, pl.ds(j * tm, tm)] = jnp.where(cbetter, tile_cmin, prev_min)
+        carg_scr[0, pl.ds(j * tm, tm)] = jnp.where(cbetter, tile_carg, prev_arg)
+        return best_d, best_i
 
-    @pl.when(i > 0)
-    def _():
-        better = tile_min < cmin_scr[0, :]
-        cmin_scr[0, :] = jnp.where(better, tile_min, cmin_scr[0, :])
-        carg_scr[0, :] = jnp.where(better, tile_arg, carg_scr[0, :])
+    init = (jnp.full((tn, 1), _BIG, jnp.float32),
+            jnp.zeros((tn, 1), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n_ytiles, ybody, init)
+    rdist_ref[:] = jnp.maximum(best_d, 0.0)
+    ridx_ref[:] = best_i
 
     @pl.when(i == n_tiles - 1)
     def _():
@@ -215,7 +227,8 @@ def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
                            tn: int = 512, elementwise: bool = False):
     n_pad, d = x_pad.shape
     m_pad = y_pad.shape[0]
-    kernel = functools.partial(_nn_dual_kernel, tn=tn,
+    tm = min(m_pad, 2048)
+    kernel = functools.partial(_nn_dual_kernel, tn=tn, tm=tm, m_pad=m_pad,
                                elementwise=elementwise and d == 3)
     grid = (n_pad // tn,)
     rdist, ridx, cdist, cidx = pl.pallas_call(
@@ -265,7 +278,11 @@ def nn_argmin_dual_pallas(x: Array, y: Array,
     n, d = x.shape
     m = y.shape[0]
     n_pad = _round_up(max(n, tn), tn)
-    m_pad = _round_up(max(m, 128), 128)
+    # m_pad must be a multiple of the inner y-tile (2048 cap) so every
+    # y row is scanned by the fori loop
+    m_pad = _round_up(max(m, 256), 256)
+    if m_pad > 2048:
+        m_pad = _round_up(m_pad, 2048)
     x_pad = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(x.astype(jnp.float32))
     y_pad = jnp.zeros((m_pad, d), jnp.float32).at[:m].set(y.astype(jnp.float32))
     x2 = jnp.sum(x_pad * x_pad, axis=-1)

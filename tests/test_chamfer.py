@@ -124,3 +124,29 @@ def test_nn_argmin_pallas_interpret_mode():
         knn._nn_argmin_pallas_padded.clear_cache()
     assert (np.asarray(idx) == d.argmin(1)).all()
     assert np.allclose(np.asarray(sq), d.min(1), atol=1e-4)
+
+
+def test_nn_argmin_dual_interpret_large_sizes():
+    """Tiled dual kernel: y-tiling covers every row (incl. non-2048-multiple
+    sizes — the m_pad/tm divisibility regression)."""
+    import functools
+    import jax.experimental.pallas as pl
+    from deformationpyramid_tpu.ops import knn
+
+    rng = np.random.default_rng(11)
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        knn._nn_dual_pallas_padded.clear_cache()
+        for n, m in [(300, 700), (600, 2500), (130, 150)]:
+            x = rng.normal(size=(n, 3)).astype(np.float32)
+            y = rng.normal(size=(m, 3)).astype(np.float32)
+            d = ((x[:, None] - y[None]) ** 2).sum(-1)
+            rd, ri, cd, ci = knn.nn_argmin_dual_pallas(jnp.array(x), jnp.array(y))
+            assert (np.asarray(ri) == d.argmin(1)).all(), (n, m)
+            assert (np.asarray(ci) == d.argmin(0)).all(), (n, m)
+            assert np.allclose(np.asarray(rd), d.min(1), atol=1e-4)
+            assert np.allclose(np.asarray(cd), d.min(0), atol=1e-4)
+    finally:
+        pl.pallas_call = orig
+        knn._nn_dual_pallas_padded.clear_cache()
