@@ -38,6 +38,7 @@ class Pair:
     name: str = ""
     depth_paths: tuple[str, str] | None = None   # (src, tgt) raw depth maps
     cam_intrin: np.ndarray | None = None         # [3, 3]
+    metric_index: np.ndarray | None = None       # 4DLoMatch NRFMR sample ids
 
 
 class FourDMatchDataset:
@@ -75,6 +76,8 @@ class FourDMatchDataset:
                 depth_paths = (str(dp[0]), str(dp[1]))
             if "cam_intrin" in z.files:
                 cam_intrin = z["cam_intrin"].astype(np.float64)
+            metric_index = (z["metric_index"].astype(np.int64)
+                            if "metric_index" in z.files else None)
 
         # random cap at max_points, keeping flow/correspondence alignment
         if len(s_pc) > self.max_points:
@@ -84,6 +87,9 @@ class FourDMatchDataset:
             s_pc, flow = s_pc[keep], flow[keep]
             m = remap[corr[:, 0]] >= 0
             corr = np.stack([remap[corr[m, 0]], corr[m, 1]], 1)
+            if metric_index is not None:
+                mi = remap[metric_index]
+                metric_index = mi[mi >= 0]
         if len(t_pc) > self.max_points:
             keep = self.rng.permutation(len(t_pc))[: self.max_points]
             remap = np.full(len(t_pc), -1, np.int64)
@@ -103,7 +109,7 @@ class FourDMatchDataset:
         return Pair(src=s_pc, tgt=t_pc, flow_gt=flow_gt, overlap=overlap,
                     rot=rot, trans=trans, correspondences=corr,
                     name=self.entries[i], depth_paths=depth_paths,
-                    cam_intrin=cam_intrin)
+                    cam_intrin=cam_intrin, metric_index=metric_index)
 
     def _augment(self, s_pc, t_pc, rot, trans):
         """Random SO(3) on src or tgt + noise (``_4dmatch.py:116-131``)."""
