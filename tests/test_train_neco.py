@@ -71,3 +71,43 @@ def test_valid_gradient_guard():
     bad = {"a": jnp.array([1.0, jnp.nan, 2.0]), "b": [jnp.zeros((2, 2))]}
     assert bool(valid_gradient(good))
     assert not bool(valid_gradient(bad))
+
+
+def test_neco_learns_to_reject_planted_outliers():
+    """Multi-step training lifts post-filter IR well above the unfiltered
+    rate on a synthetic task with 40% planted outlier matches."""
+    import optax
+    from deformationpyramid_tpu.match.losses import neco_loss
+    from deformationpyramid_tpu.match.outlier_rejection import apply_neco, init_neco
+
+    cfg = NeCoConfig(feature_dim=48, n_head=4, num_layers=2)
+    params = init_neco(jax.random.key(0), cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        k = 48
+        s = r.normal(size=(k, 3)).astype(np.float32) * 0.3
+        t = s + 0.01 * r.normal(size=(k, 3)).astype(np.float32)
+        out = r.random(k) < 0.4
+        t[out] += r.normal(size=(int(out.sum()), 3)).astype(np.float32) * 0.5
+        return (jnp.array(np.concatenate([s, t], 1)),
+                jnp.array(np.stack([np.arange(k), np.arange(k)], 1)),
+                jnp.array(s))
+
+    @jax.jit
+    def step(params, opt_state, vec6d, idx, s):
+        def loss_fn(p):
+            conf = apply_neco(p, vec6d, jnp.ones(len(vec6d), bool), cfg)
+            return neco_loss(conf, vec6d, jnp.ones(len(vec6d), bool), idx, s,
+                             jnp.zeros_like(s), jnp.eye(3), jnp.zeros((3, 1)))
+        (loss, info), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, info
+
+    info = None
+    for i in range(60):
+        vec6d, idx, s = make_batch(i % 12)
+        params, opt_state, info = step(params, opt_state, vec6d, idx, s)
+    assert float(info["IR_neco"]) > float(info["IR_lepard"]) + 0.1
