@@ -40,6 +40,18 @@ def _round_up(x, m=256):
     return ((x + m - 1) // m) * m
 
 
+def interp_flow(query_pts: np.ndarray, pair) -> np.ndarray:
+    """Deformation-only flow at arbitrary points via kNN blending of the
+    pair's per-point flow (the IR definition wants R(Ps+flow)+t vs ldmk_t;
+    flow_gt stores the composed motion, so invert the rigid part)."""
+    from ..data.correspondence_utils import blend_scene_flow
+
+    # flow_def = R^-1 (flow_gt + Ps - t) - Ps
+    flow_def = (pair.rot.T @ (pair.flow_gt + pair.src
+                              - pair.trans.T).T).T - pair.src
+    return blend_scene_flow(query_pts, pair.src, flow_def.astype(np.float32))
+
+
 def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
              splits, batch_limit=None, seed=0, log_dir="snapshot/lndp"):
     timers = Timers()
@@ -101,6 +113,25 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             m = compute_flow_metrics(jnp.array(flow), jnp.array(pair.flow_gt),
                                      overlap=jnp.array(pair.overlap))
             m["n_landmarks"] = float(data["ldmk_valid"].sum())
+
+            # matcher-side metrics: IR @0.04m on the landmark pairs; NRFMR
+            # over the metric-index sample (4DLoMatch) or all overlap points
+            from ..metrics.matching import inlier_ratio, nrfmr
+
+            ldmk_s = data["ldmk_s"]
+            ldmk_flow_gt = interp_flow(np.asarray(ldmk_s), pair)
+            m["IR"] = float(inlier_ratio(
+                ldmk_s, data["ldmk_t"], data["ldmk_valid"],
+                jnp.array(pair.rot), jnp.array(pair.trans),
+                jnp.array(ldmk_flow_gt)))
+            if pair.metric_index is not None and len(pair.metric_index):
+                mi = pair.metric_index
+            else:
+                mi = np.nonzero(pair.overlap)[0][:1000]
+            if len(mi):
+                m["NRFMR"] = float(nrfmr(
+                    ldmk_s, data["ldmk_t"], data["ldmk_valid"],
+                    jnp.array(pair.src[mi]), jnp.array(pair.flow_gt[mi])))
             for k2, v in m.items():
                 meters.setdefault(k2, AverageMeter()).update(float(v))
 

@@ -1,0 +1,52 @@
+"""End-to-end test of the LNDP supervised eval loop (small dims, CPU)."""
+import numpy as np
+import pytest
+
+import jax
+
+from deformationpyramid_tpu.match.kpconv import KPConvConfig
+from deformationpyramid_tpu.match.landmark import LandmarkConfig, init_landmark_model
+from deformationpyramid_tpu.match.matching import MatchingConfig
+from deformationpyramid_tpu.match.outlier_rejection import NeCoConfig
+from deformationpyramid_tpu.match.pipeline import MatcherConfig
+from deformationpyramid_tpu.match.position_encoding import VolPEConfig
+from deformationpyramid_tpu.match.transformer import TransformerConfig
+from deformationpyramid_tpu.models.pyramid import NDPConfig
+from deformationpyramid_tpu.solve.registration import SolverConfig
+from deformationpyramid_tpu.utils.config import AttrDict
+
+FD = 96
+
+
+def test_run_eval_supervised_loop(tmp_path):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_eval_cli import write_synthetic_4dmatch
+
+    from deformationpyramid_tpu.cli.eval_supervised import run_eval
+
+    root = str(tmp_path / "split")
+    write_synthetic_4dmatch(root, "4DMatch-F", n_pairs=2, n_pts=250)
+
+    kcfg = KPConvConfig(first_subsampling_dl=0.05, first_feats_dim=32,
+                        coarse_feature_dim=FD, fine_feature_dim=24)
+    vol = VolPEConfig(feature_dim=FD, vol_origin=(-2.0, -2.0, -2.0))
+    lcfg = LandmarkConfig(
+        matcher=MatcherConfig(
+            kpfcn=kcfg,
+            transformer=TransformerConfig(feature_dim=FD, n_head=4, vol=vol,
+                                          matching=MatchingConfig(feature_dim=FD)),
+            matching=MatchingConfig(feature_dim=FD), max_matches=32),
+        neco=NeCoConfig(feature_dim=48, n_head=4, num_layers=2),
+        inlier_thr=0.0, reject_outliers=False)
+    scfg = SolverConfig(pyramid=NDPConfig(m=2, k0=-3, depth=2, width=16),
+                        iters=10, samples=64, use_pallas=False)
+    params = init_landmark_model(jax.random.key(0), lcfg)
+    cfg = AttrDict({"data_root": root})
+
+    run_eval(cfg, lcfg, params, scfg, ["4DMatch-F"],
+             log_dir=str(tmp_path / "log"))
+    # log file written with the metric line incl. IR/NRFMR keys
+    log = (tmp_path / "log" / "4DMatch-F.log").read_text()
+    assert "full-epe" in log
+    assert "IR" in log and "NRFMR" in log
