@@ -83,6 +83,22 @@ def axis_angle_to_SO3(r: Array) -> Array:
     return exp_so3(w, theta)
 
 
+def rotate_axis_angle(r: Array, x: Array) -> Array:
+    """Apply exp(skew(r)) to x without materializing [..., 3, 3] matrices.
+
+    Vector Rodrigues form: R x = x + sin(t) (w x x) + (1 - cos(t)) (w (w.x) - x)
+    with t = |r|, w = r/t — mathematically identical to
+    ``apply_rotation(axis_angle_to_SO3(r), x)`` but a handful of [N, 3] VPU
+    ops instead of per-point 3x3 matmul chains (the registration hot path).
+    """
+    theta = _safe_norm(r, axis=-1, keepdims=True)
+    w = r / theta
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    wxx = jnp.cross(w, x)
+    wdx = jnp.sum(w * x, axis=-1, keepdims=True)
+    return x + s * wxx + (1.0 - c) * (w * wdx - x)
+
+
 def euler_to_SO3(euler: Array, convention: str = "XYZ") -> Array:
     """Euler angles [..., 3] -> rotation, R = Rx @ Ry @ Rz for "XYZ".
 

@@ -150,6 +150,14 @@ def level_warp(p: dict[str, Any], x: Array, level: Array | int,
 
     if cfg.motion == "sflow":
         x_ = x + t
+    elif cfg.rotation_format == "axis_angle":
+        # hot path: matrix-free Rodrigues application (no [N,3,3] chains)
+        rx = rot.rotate_axis_angle(cfg.mlp_scale * _head(fea, p["rot"]), x)
+        if cfg.motion == "Sim3":
+            s = cfg.mlp_scale * _head(fea, p["scale"]) + 1.0
+            x_ = s * rx + t
+        else:
+            x_ = rx + t
     else:
         R = rotation_from_features(cfg.mlp_scale * _head(fea, p["rot"]), cfg.rotation_format)
         x_ = rot.apply_rotation(R, x) + t

@@ -106,3 +106,13 @@ def test_grad_through_axis_angle():
         return jnp.sum(R @ jnp.array([1.0, 0.0, 0.0]))
     g = jax.grad(f)(jnp.array([1e-3, 2e-3, -1e-3], jnp.float32))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rotate_axis_angle_matches_matrix_form():
+    rng = np.random.default_rng(9)
+    r = jnp.array(rng.normal(size=(64, 3)) * 0.8, jnp.float32)
+    x = jnp.array(rng.normal(size=(64, 3)), jnp.float32)
+    want = np.einsum("nij,nj->ni", np.asarray(rot.axis_angle_to_SO3(r)),
+                     np.asarray(x))
+    got = np.asarray(rot.rotate_axis_angle(r, x))
+    assert np.allclose(got, want, atol=1e-5)
