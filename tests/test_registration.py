@@ -110,3 +110,19 @@ def test_flow_metrics_definitions():
     assert abs(float(m["full-epe"]) - errs.mean() * 100) < 1e-4
     assert 0.0 <= float(m["full-AccS"]) <= 100.0
     assert set(k.split("-")[0] for k in m) == {"full", "vis", "occ"}
+
+
+def test_registration_with_nonrigidity_regularizer():
+    """w_reg > 0 activates the nonrigidity branch + BCE regularizer
+    (reference registration.py:216-220); solver must still converge."""
+    from deformationpyramid_tpu.models.pyramid import NDPConfig
+    src, tgt, flow_gt = make_pair(n=200, seed=8, deform=0.1)
+    cfg = SolverConfig(
+        pyramid=NDPConfig(m=3, k0=-4, depth=2, width=32, nonrigidity_est=True),
+        iters=40, samples=128, w_reg=1e-4, use_pallas=False)
+    warped, stats = jax.jit(lambda k, s, t: register_pair(k, s, t, cfg))(
+        jax.random.key(0), jnp.array(src), jnp.array(tgt))
+    assert np.isfinite(np.asarray(warped)).all()
+    epe0 = np.linalg.norm(flow_gt, axis=-1).mean()
+    epe = np.linalg.norm((np.asarray(warped) - src) - flow_gt, axis=-1).mean()
+    assert epe < 0.6 * epe0, (epe0, epe)
