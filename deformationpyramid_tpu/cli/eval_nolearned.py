@@ -14,10 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import json
 import os
-import time
 
 import numpy as np
 

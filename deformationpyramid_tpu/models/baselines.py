@@ -13,7 +13,6 @@ neither reference class calls xavier reset.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ global min reduces with ``pmin``-style collectives inside ``shard_map``.
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ loop is just unrolled into explicit per-iteration state stepping:
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import jax
