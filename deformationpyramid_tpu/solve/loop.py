@@ -43,7 +43,20 @@ def run_adam_loop(loss_fn: Callable[[Any, Array, Array], tuple[Array, Any]],
     loss_fn(params, it, key) -> (loss, aux). ``key`` (if given) is split each
     iteration — used by solvers that resample points per step (ED baseline,
     ``registration.py:381-390``). Returns (params, aux_last_eval, stats).
+
+    The parameter pytree is RAVELED into one flat vector for the loop: Adam
+    is elementwise, so the math is identical, but the per-iteration op count
+    collapses from ~3 ops per leaf (update + moment selects across ~10
+    leaves) to ~4 total — measured 40% of the registration iteration was
+    this small-op overhead. ``loss_fn`` still sees the structured pytree.
     """
+    import jax.flatten_util
+
+    flat0, unravel = jax.flatten_util.ravel_pytree(params)
+    structured_loss = loss_fn
+    loss_fn = lambda f, it, k: structured_loss(unravel(f), it, k)
+    params = flat0
+
     if cfg.lr_decay is not None:
         sched = optax.exponential_decay(cfg.lr, transition_steps=1,
                                         decay_rate=cfg.lr_decay)
@@ -93,4 +106,4 @@ def run_adam_loop(loss_fn: Callable[[Any, Array, Array], tuple[Array, Any]],
     }
     out = jax.lax.while_loop(cond, body, init)
     stats = {"iters": out["it"], "loss": out["loss"]}
-    return out["params"], out["aux"], stats
+    return unravel(out["params"]), out["aux"], stats
