@@ -113,9 +113,24 @@ def main():
                                            KPFCN_ARCHITECTURE)
     tcfg = TrainConfig(max_epoch=args.epochs,
                        optimizer=cfg.get("optimizer", "SGD"),
-                       lr=cfg.get("lr", 0.01))
+                       lr=cfg.get("lr", 0.01),
+                       momentum=cfg.get("momentum", 0.9),
+                       weight_decay=cfg.get("weight_decay", 1e-6),
+                       scheduler=cfg.get("scheduler", "ExpLR"),
+                       scheduler_gamma=cfg.get("scheduler_gamma", 0.99),
+                       lr_milestones=tuple(cfg.get("lr_milestones", ())),
+                       iter_size=cfg.get("iter_size", 1))
+    # validation split for best-model selection (reference trainer.py:266-271)
+    val_stream = None
+    if cfg.get("do_valid", False):
+        vds = FourDMatchDataset(data_root, "val", augment=False)
+        if args.limit:
+            vds.entries = vds.entries[:args.limit]
+        if len(vds):
+            val_stream = make_batch_stream(vds, lcfg, limits)
     train_neco(params["matcher"], params["neco"], lcfg, tcfg,
-               make_batch_stream(ds, lcfg, limits), steps_per_epoch=len(ds))
+               make_batch_stream(ds, lcfg, limits), steps_per_epoch=len(ds),
+               val_batches=val_stream)
 
 
 if __name__ == "__main__":

@@ -65,7 +65,9 @@ def split_coarse(coarse_feats: Array, coarse_pts: Array,
 
 def apply_matcher(params: dict, pyramid: dict, src_len_coarse: Array,
                   tgt_len_coarse: Array, cfg: MatcherConfig,
-                  s_cap: int | None = None, t_cap: int | None = None) -> dict[str, Any]:
+                  s_cap: int | None = None, t_cap: int | None = None,
+                  gt_rot: Array | None = None, gt_trn: Array | None = None,
+                  key: Array | None = None) -> dict[str, Any]:
     """Full matcher forward for one pair.
 
     ``pyramid`` is the device-side PairPyramid dict;
@@ -84,7 +86,8 @@ def apply_matcher(params: dict, pyramid: dict, src_len_coarse: Array,
 
     src_feats, tgt_feats, src_pe, tgt_pe, position_layers = apply_transformer(
         params["transformer"], src_feats, tgt_feats, s_pcd, t_pcd,
-        src_mask, tgt_mask, cfg.transformer)
+        src_mask, tgt_mask, cfg.transformer,
+        gt_rot=gt_rot, gt_trn=gt_trn, key=key)
 
     conf = confidence_matrix(params["matching"], src_feats, tgt_feats,
                              src_pe, tgt_pe, src_mask, tgt_mask,

@@ -14,6 +14,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from ..geometry.rotations import euler_to_SO3
 from .attention import AttentionConfig, apply_attention_layer, init_attention_layer
 from .matching import MatchingConfig, confidence_matrix, init_matching
 from .position_encoding import VolPEConfig, volumetric_pe
@@ -56,12 +57,29 @@ def init_transformer(key: Array, cfg: TransformerConfig) -> dict:
     return {"layers": layers}
 
 
+def rand_rot_pcd(key: Array, pcd: Array, mask: Array) -> Array:
+    """Rotate a masked cloud by a random SO(3) about its masked centroid.
+
+    Train-time positioning ablation; reference ``rand_rot_pcd``
+    (``transformer.py:259-276``): invalid rows zeroed, centroid over valid
+    rows only, uniform zyx euler angles in [0, 2pi).
+    """
+    pcd = jnp.where(mask[:, None], pcd, 0.0)
+    n_valid = jnp.maximum(mask.sum(), 1)
+    centroid = pcd.sum(axis=0) / n_valid
+    angles = jax.random.uniform(key, (3,), pcd.dtype) * 2.0 * jnp.pi
+    # scipy's extrinsic 'zyx' (az, ay, ax) == Rx(ax) @ Ry(ay) @ Rz(az)
+    rot = euler_to_SO3(angles[::-1], "XYZ")
+    return (pcd - centroid) @ rot.T + centroid
+
+
 def apply_transformer(params: dict, src_feat: Array, tgt_feat: Array,
                       s_pcd: Array, t_pcd: Array,
                       src_mask: Array, tgt_mask: Array,
                       cfg: TransformerConfig,
                       gt_rot: Array | None = None,
-                      gt_trn: Array | None = None):
+                      gt_trn: Array | None = None,
+                      key: Array | None = None):
     """Returns (src_feat, tgt_feat, src_pe, tgt_pe, position_layers).
 
     position_layers collects per-positioning-layer (conf_matrix, R, t,
@@ -101,6 +119,12 @@ def apply_transformer(params: dict, src_feat: Array, tgt_feat: Array,
                 tgt_pe = volumetric_pe(t_pcd, cfg.vol)
             elif cfg.positioning_type == "oracle":
                 src_wrapped = (gt_rot @ s_pcd.T + gt_trn).T
+                src_pe = volumetric_pe(src_wrapped, cfg.vol)
+            elif cfg.positioning_type == "randSO3":
+                if key is None:
+                    raise ValueError("randSO3 positioning needs a PRNG key")
+                key, sub = jax.random.split(key)
+                src_wrapped = rand_rot_pcd(sub, s_pcd, src_mask)
                 src_pe = volumetric_pe(src_wrapped, cfg.vol)
             else:
                 raise KeyError(cfg.positioning_type)

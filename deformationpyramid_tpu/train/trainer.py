@@ -3,8 +3,11 @@
 Reference parity: ``correspondence/lib/trainer.py:17-276`` +
 ``correspondence/main.py:75-103``: the matcher runs frozen in eval mode,
 NeCo trains with class-balanced BCE; SGD (momentum+weight-decay) or Adam
-with exponential/multi-step LR; gradient accumulation over ``iter_size``;
-NaN/Inf gradient guard (``lib/utils.py:103-113``); best-loss snapshots.
+with exponential/multi-step LR; gradient accumulation over ``iter_size``
+(summed grads, step every iter_size batches, ``lib/trainer.py:195-201``);
+NaN/Inf gradient guard (``lib/utils.py:103-113``); best-loss snapshots
+selected on the validation split when one is provided
+(``lib/trainer.py:266-271``); per-epoch scalar history JSONL.
 
 The step is one jitted function (matcher forward under stop_gradient +
 NeCo forward/backward); data pyramids stream from the host collate.
@@ -36,8 +39,9 @@ class TrainConfig:
     lr: float = 0.01
     momentum: float = 0.9
     weight_decay: float = 1e-6
-    scheduler: str = "ExpLR"
-    scheduler_gamma: float = 0.99    # per-epoch exponential decay
+    scheduler: str = "ExpLR"         # 'ExpLR' | 'MultiStepLR'
+    scheduler_gamma: float = 0.99    # per-epoch decay (ExpLR) / step scale
+    lr_milestones: tuple[int, ...] = ()  # epochs, MultiStepLR only
     iter_size: int = 1               # gradient accumulation
     max_epoch: int = 10
     grad_clip: float | None = None
@@ -45,10 +49,29 @@ class TrainConfig:
     snapshot_dir: str = "snapshot/neco"
 
 
+def make_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
+    """LR schedule in optimizer-update steps (the reference steps its
+    scheduler once per epoch, ``lib/trainer.py:255``).
+
+    'MultiStepLR' scales by gamma at each milestone epoch
+    (``correspondence/main.py:90-97``, used with milestones=[max_epoch-1],
+    gamma=0.1 for overfit runs); 'ExpLR' decays by gamma per epoch
+    (``main.py:99-103``).
+    """
+    spe = max(steps_per_epoch, 1)
+    if cfg.scheduler == "MultiStepLR":
+        return optax.piecewise_constant_schedule(
+            cfg.lr, {int(m) * spe: cfg.scheduler_gamma
+                     for m in cfg.lr_milestones})
+    if cfg.scheduler == "ExpLR":
+        return optax.exponential_decay(
+            cfg.lr, transition_steps=spe,
+            decay_rate=cfg.scheduler_gamma, staircase=True)
+    raise KeyError(cfg.scheduler)
+
+
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
-    sched = optax.exponential_decay(
-        cfg.lr, transition_steps=max(steps_per_epoch, 1),
-        decay_rate=cfg.scheduler_gamma, staircase=True)
+    sched = make_schedule(cfg, steps_per_epoch)
     if cfg.optimizer == "SGD":
         opt = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),
@@ -73,9 +96,8 @@ def valid_gradient(grads: Any) -> Array:
     return ok
 
 
-def make_neco_train_step(matcher_params: dict, lcfg: LandmarkConfig,
-                         opt: optax.GradientTransformation):
-    """Build the jitted (loss, grads, update) step for one pair."""
+def make_neco_loss_fn(matcher_params: dict, lcfg: LandmarkConfig):
+    """Matcher-frozen NeCo loss for one pair (``lib/trainer.py:117-139``)."""
 
     def loss_fn(neco_params, pyramid, src_len_c, tgt_len_c, coarse_flow,
                 gt_rot, gt_trn):
@@ -87,6 +109,14 @@ def make_neco_train_step(matcher_params: dict, lcfg: LandmarkConfig,
                                data["vec_6d_ind"], data["s_pcd"], coarse_flow,
                                gt_rot, gt_trn)
         return loss, info
+
+    return loss_fn
+
+
+def make_neco_train_step(matcher_params: dict, lcfg: LandmarkConfig,
+                         opt: optax.GradientTransformation):
+    """Build the jitted (loss, grads, update) step for one pair."""
+    loss_fn = make_neco_loss_fn(matcher_params, lcfg)
 
     @jax.jit
     def step(neco_params, opt_state, pyramid, src_len_c, tgt_len_c,
@@ -105,28 +135,135 @@ def make_neco_train_step(matcher_params: dict, lcfg: LandmarkConfig,
     return step
 
 
+def make_neco_accum_fns(matcher_params: dict, lcfg: LandmarkConfig,
+                        opt: optax.GradientTransformation):
+    """(grads_fn, apply_fn) pair implementing ``iter_size`` accumulation.
+
+    Mirrors the reference exactly (``lib/trainer.py:185-201``): per-batch
+    ``backward()`` SUMS gradients into the accumulator (no 1/iter_size
+    scaling), the optimizer steps once every ``iter_size`` batches, the
+    NaN/Inf guard runs on the ACCUMULATED gradient at step time and skips
+    the whole step when it fails (``zero_grad`` still clears the buffer).
+    """
+    loss_fn = make_neco_loss_fn(matcher_params, lcfg)
+
+    @jax.jit
+    def grads_fn(neco_params, accum, pyramid, src_len_c, tgt_len_c,
+                 coarse_flow, gt_rot, gt_trn):
+        (loss, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            neco_params, pyramid, src_len_c, tgt_len_c, coarse_flow,
+            gt_rot, gt_trn)
+        accum = jax.tree.map(jnp.add, accum, grads)
+        return accum, loss, info
+
+    @jax.jit
+    def apply_fn(neco_params, opt_state, accum):
+        ok = valid_gradient(accum)
+        updates, new_opt_state = opt.update(accum, opt_state, neco_params)
+        new_params = optax.apply_updates(neco_params, updates)
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), new, old)
+        zeros = jax.tree.map(jnp.zeros_like, accum)
+        return (keep(new_params, neco_params), keep(new_opt_state, opt_state),
+                zeros, ok)
+
+    return grads_fn, apply_fn
+
+
+def make_neco_eval_step(matcher_params: dict, lcfg: LandmarkConfig):
+    """Jitted loss-only step for the validation split (no update)."""
+    loss_fn = make_neco_loss_fn(matcher_params, lcfg)
+
+    @jax.jit
+    def step(neco_params, pyramid, src_len_c, tgt_len_c, coarse_flow,
+             gt_rot, gt_trn):
+        return loss_fn(neco_params, pyramid, src_len_c, tgt_len_c,
+                       coarse_flow, gt_rot, gt_trn)
+
+    return step
+
+
+def _batch_args(batch: dict) -> tuple:
+    return (batch["pyramid"], batch["src_len_c"], batch["tgt_len_c"],
+            batch["coarse_flow"], batch["gt_rot"], batch["gt_trn"])
+
+
 def train_neco(matcher_params: dict, neco_params: dict, lcfg: LandmarkConfig,
                cfg: TrainConfig, train_batches: Callable[[], Iterable[dict]],
-               steps_per_epoch: int, log_fn=print) -> dict:
+               steps_per_epoch: int, log_fn=print,
+               val_batches: Callable[[], Iterable[dict]] | None = None) -> dict:
     """Epoch loop; ``train_batches()`` yields device-ready dicts with keys
-    pyramid/src_len_c/tgt_len_c/coarse_flow/gt_rot/gt_trn."""
-    opt = make_optimizer(cfg, steps_per_epoch)
+    pyramid/src_len_c/tgt_len_c/coarse_flow/gt_rot/gt_trn.
+
+    Model selection mirrors the reference (``lib/trainer.py:246-274``):
+    when ``val_batches`` is given, the best-loss snapshot tracks the
+    validation loss after each epoch; otherwise the train loss (the
+    reference's 'overfit' path). Per-epoch scalars (loss, IR_neco, lr per
+    phase) append to ``<snapshot_dir>/history.jsonl`` (the reference's
+    tensorboardX scalars, ``trainer.py:216-218,230-234``).
+    """
+    import json
+    import os
+
+    opt_steps_per_epoch = max(steps_per_epoch // max(cfg.iter_size, 1), 1)
+    opt = make_optimizer(cfg, opt_steps_per_epoch)
+    sched = make_schedule(cfg, opt_steps_per_epoch)
     opt_state = opt.init(neco_params)
-    step = make_neco_train_step(matcher_params, lcfg, opt)
+    grads_fn, apply_fn = make_neco_accum_fns(matcher_params, lcfg, opt)
+    eval_step = make_neco_eval_step(matcher_params, lcfg) if val_batches else None
+
+    os.makedirs(cfg.snapshot_dir, exist_ok=True)
+    history_path = f"{cfg.snapshot_dir}/history.jsonl"
+
+    def write_history(epoch: int, phase: str, meters: dict[str, AverageMeter],
+                      n_opt_steps: int) -> None:
+        row = {"epoch": epoch, "phase": phase,
+               "lr": float(sched(jnp.int32(n_opt_steps)))}
+        row.update({k: m.avg for k, m in meters.items()})
+        with open(history_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
     best = np.inf
+    n_opt_steps = 0
+    # gradient buffer persists across epoch boundaries exactly like torch's
+    # (zero_grad only runs at step time, trainer.py:200)
+    accum = jax.tree.map(jnp.zeros_like, neco_params)
+    c_iter = 0
     for epoch in range(cfg.max_epoch):
         meter = AverageMeter()
         ir_meter = AverageMeter()
         for batch in train_batches():
-            neco_params, opt_state, loss, info, ok = step(
-                neco_params, opt_state, batch["pyramid"],
-                batch["src_len_c"], batch["tgt_len_c"],
-                batch["coarse_flow"], batch["gt_rot"], batch["gt_trn"])
+            accum, loss, info = grads_fn(neco_params, accum,
+                                         *_batch_args(batch))
+            c_iter += 1
+            if c_iter % max(cfg.iter_size, 1) == 0:
+                neco_params, opt_state, accum, ok = apply_fn(
+                    neco_params, opt_state, accum)
+                n_opt_steps += 1
+                if not bool(ok):
+                    log_fn("gradient not valid")
             meter.update(float(loss))
             ir_meter.update(float(info["IR_neco"]))
         log_fn(f"epoch {epoch}: loss {meter.avg:.4f} IR_neco {ir_meter.avg:.3f}")
-        if meter.avg < best:
-            best = meter.avg
+        write_history(epoch, "train",
+                      {"loss": meter, "IR_neco": ir_meter}, n_opt_steps)
+
+        select_loss = meter.avg
+        if val_batches is not None:
+            v_meter = AverageMeter()
+            v_ir = AverageMeter()
+            for batch in val_batches():
+                v_loss, v_info = eval_step(neco_params, *_batch_args(batch))
+                v_meter.update(float(v_loss))
+                v_ir.update(float(v_info["IR_neco"]))
+            log_fn(f"epoch {epoch}: val loss {v_meter.avg:.4f} "
+                   f"IR_neco {v_ir.avg:.3f}")
+            write_history(epoch, "val",
+                          {"loss": v_meter, "IR_neco": v_ir}, n_opt_steps)
+            select_loss = v_meter.avg
+
+        if select_loss < best:
+            best = select_loss
             save_pytree(f"{cfg.snapshot_dir}/model_best_loss.npz", neco_params,
                         meta={"epoch": epoch, "loss": best})
         save_pytree(f"{cfg.snapshot_dir}/model_last.npz", neco_params,

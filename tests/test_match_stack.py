@@ -262,3 +262,56 @@ def test_config_loader_tree():
     assert lcfg.matcher.coarse_level == 2
     assert lcfg.neco.num_layers == 9 and lcfg.neco.feature_dim == 144
     assert lcfg.matcher.transformer.vol.vol_origin == (-3.6, -2.4, 1.14)
+
+
+# ---------------- positioning ablations ----------------
+
+def test_rand_rot_pcd_is_rigid_about_masked_centroid():
+    from deformationpyramid_tpu.match.transformer import rand_rot_pcd
+
+    rng = np.random.default_rng(3)
+    pcd = jnp.array(rng.normal(size=(10, 3)), jnp.float32)
+    mask = jnp.array([True] * 7 + [False] * 3)
+    out = np.asarray(rand_rot_pcd(jax.random.key(0), pcd, mask))
+    valid = np.asarray(jnp.where(mask[:, None], pcd, 0.0))[:7]
+    # rigid: pairwise distances among valid points preserved
+    d_in = np.linalg.norm(valid[:, None] - valid[None], axis=-1)
+    d_out = np.linalg.norm(out[:7][:, None] - out[:7][None], axis=-1)
+    assert np.allclose(d_in, d_out, atol=1e-4)
+    # the masked centroid is a fixed point of the repositioning
+    assert np.allclose(valid.mean(0), out[:7].mean(0), atol=1e-4)
+    # rotation actually moved the cloud
+    assert np.abs(out[:7] - valid).max() > 1e-3
+
+
+def test_transformer_randSO3_positioning_runs():
+    from deformationpyramid_tpu.match.transformer import (
+        apply_transformer, init_transformer,
+    )
+
+    fd = 12
+    cfg = TransformerConfig(
+        feature_dim=fd, n_head=2, positioning_type="randSO3",
+        vol=VolPEConfig(feature_dim=fd, vol_origin=(-2.0, -2.0, -2.0)),
+        matching=MatchingConfig(feature_dim=fd))
+    params = init_transformer(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    sf = jnp.array(rng.normal(size=(9, fd)), jnp.float32)
+    tf = jnp.array(rng.normal(size=(11, fd)), jnp.float32)
+    sp = jnp.array(rng.normal(size=(9, 3)), jnp.float32)
+    tp = jnp.array(rng.normal(size=(11, 3)), jnp.float32)
+    sm = jnp.ones((9,), bool)
+    tm = jnp.ones((11,), bool)
+
+    with pytest.raises(ValueError):
+        apply_transformer(params, sf, tf, sp, tp, sm, tm, cfg)
+
+    out_sf, out_tf, spe, tpe, layers = apply_transformer(
+        params, sf, tf, sp, tp, sm, tm, cfg, key=jax.random.key(1))
+    assert layers == []  # randSO3 layers carry no procrustes outputs
+    for arr in (out_sf, out_tf, spe, tpe):
+        assert np.isfinite(np.asarray(arr)).all()
+    # a different key repositions differently -> different src PE
+    _, _, spe2, _, _ = apply_transformer(
+        params, sf, tf, sp, tp, sm, tm, cfg, key=jax.random.key(2))
+    assert np.abs(np.asarray(spe) - np.asarray(spe2)).max() > 1e-5

@@ -111,3 +111,113 @@ def test_neco_learns_to_reject_planted_outliers():
         vec6d, idx, s = make_batch(i % 12)
         params, opt_state, info = step(params, opt_state, vec6d, idx, s)
     assert float(info["IR_neco"]) > float(info["IR_lepard"]) + 0.1
+
+
+def test_multistep_lr_schedule_values():
+    from deformationpyramid_tpu.train.trainer import make_schedule
+
+    cfg = TrainConfig(scheduler="MultiStepLR", lr=1.0,
+                      lr_milestones=(2, 4), scheduler_gamma=0.1)
+    sched = make_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(0)) == 1.0
+    assert float(sched(19)) == 1.0
+    assert abs(float(sched(20)) - 0.1) < 1e-7
+    assert abs(float(sched(39)) - 0.1) < 1e-7
+    assert abs(float(sched(40)) - 0.01) < 1e-7
+
+
+def _tiny_lcfg():
+    fd = 24
+    kcfg = KPConvConfig(first_subsampling_dl=0.1, first_feats_dim=8,
+                        coarse_feature_dim=fd, fine_feature_dim=8)
+    vol = VolPEConfig(feature_dim=fd, vol_origin=(-2.0, -2.0, -2.0))
+    return LandmarkConfig(
+        matcher=MatcherConfig(
+            kpfcn=kcfg,
+            transformer=TransformerConfig(feature_dim=fd, n_head=2, vol=vol,
+                                          matching=MatchingConfig(feature_dim=fd)),
+            matching=MatchingConfig(feature_dim=fd), max_matches=16),
+        neco=NeCoConfig(feature_dim=12, n_head=2, num_layers=1))
+
+
+def _tiny_batch(lcfg, seed):
+    src, tgt, flow = make_pair(n=120, seed=seed, deform=0.05)
+    limits = calibrate_neighborhood_limits([(src, tgt)], lcfg.matcher.kpfcn,
+                                           KPFCN_ARCHITECTURE)
+    pyr = build_pair_pyramid(src, tgt, lcfg.matcher.kpfcn,
+                             KPFCN_ARCHITECTURE, limits)
+    pyrd = {"points": [jnp.array(p) for p in pyr.points],
+            "valids": [jnp.array(v) for v in pyr.valids],
+            "neighbors": [jnp.array(x) for x in pyr.neighbors],
+            "pools": [jnp.array(x) for x in pyr.pools],
+            "upsamples": [jnp.array(x) for x in pyr.upsamples],
+            "features": jnp.array(pyr.features)}
+    n_c = len(pyr.points[2])
+    return {"pyramid": pyrd,
+            "src_len_c": jnp.int32(pyr.src_lengths[2]),
+            "tgt_len_c": jnp.int32(pyr.tgt_lengths[2]),
+            "coarse_flow": jnp.zeros((n_c, 3)),
+            "gt_rot": jnp.eye(3), "gt_trn": jnp.zeros((3, 1))}
+
+
+def test_iter_size_accumulation_matches_summed_grads():
+    """iter_size=k accumulation == one optimizer step on the SUM of the k
+    per-batch gradients (the reference never scales by iter_size,
+    lib/trainer.py:195-201)."""
+    import optax
+    from deformationpyramid_tpu.train.trainer import (
+        make_neco_accum_fns, make_neco_loss_fn,
+    )
+
+    lcfg = _tiny_lcfg()
+    params = init_landmark_model(jax.random.key(0), lcfg)
+    b0, b1 = _tiny_batch(lcfg, 0), _tiny_batch(lcfg, 1)
+    args = lambda b: (b["pyramid"], b["src_len_c"], b["tgt_len_c"],
+                      b["coarse_flow"], b["gt_rot"], b["gt_trn"])
+
+    opt = optax.sgd(0.05)
+    opt_state = opt.init(params["neco"])
+    grads_fn, apply_fn = make_neco_accum_fns(params["matcher"], lcfg, opt)
+
+    accum = jax.tree.map(jnp.zeros_like, params["neco"])
+    accum, l0, _ = grads_fn(params["neco"], accum, *args(b0))
+    # params must not move between accumulation sub-steps
+    accum, l1, _ = grads_fn(params["neco"], accum, *args(b1))
+    new_params, _, accum_after, ok = apply_fn(params["neco"], opt_state, accum)
+    assert bool(ok)
+    assert all(float(jnp.abs(x).max()) == 0.0
+               for x in jax.tree.leaves(accum_after))
+
+    # manual: sum of the two per-batch grads through the same optimizer
+    loss_fn = make_neco_loss_fn(params["matcher"], lcfg)
+    g0 = jax.grad(loss_fn, has_aux=True)(params["neco"], *args(b0))[0]
+    g1 = jax.grad(loss_fn, has_aux=True)(params["neco"], *args(b1))[0]
+    gsum = jax.tree.map(jnp.add, g0, g1)
+    upd, _ = opt.update(gsum, opt.init(params["neco"]), params["neco"])
+    expect = optax.apply_updates(params["neco"], upd)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         new_params, expect)
+    assert max(jax.tree.leaves(diffs)) < 1e-6
+
+
+def test_train_neco_val_selection_and_history(tmp_path):
+    from deformationpyramid_tpu.train.trainer import train_neco
+    import json
+
+    lcfg = _tiny_lcfg()
+    params = init_landmark_model(jax.random.key(1), lcfg)
+    batches = [_tiny_batch(lcfg, s) for s in (0, 1)]
+    val = [_tiny_batch(lcfg, 2)]
+    cfg = TrainConfig(optimizer="Adam", lr=1e-3, iter_size=2, max_epoch=2,
+                      snapshot_dir=str(tmp_path / "snap"))
+    out = train_neco(params["matcher"], params["neco"], lcfg, cfg,
+                     lambda: iter(batches), steps_per_epoch=2,
+                     val_batches=lambda: iter(val), log_fn=lambda *_: None)
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         out, params["neco"])
+    assert max(jax.tree.leaves(moved)) > 0.0
+    assert (tmp_path / "snap" / "model_best_loss.npz").exists()
+    rows = [json.loads(l) for l in
+            (tmp_path / "snap" / "history.jsonl").read_text().splitlines()]
+    assert [r["phase"] for r in rows] == ["train", "val", "train", "val"]
+    assert all(np.isfinite(r["loss"]) and np.isfinite(r["lr"]) for r in rows)
