@@ -42,8 +42,23 @@ def _read_depth(path: str) -> np.ndarray:
         return np.asarray(Image.open(path), np.float32)
 
 
-def evaluate_pair_ed(pair, cfg, scfg: EDSolverConfig, key):
-    """Returns (flow, flow_gt, overlap) on the valid evaluated points."""
+def _nearest_indices(query: np.ndarray, pts: np.ndarray,
+                     chunk: int = 1024) -> np.ndarray:
+    out = np.empty(len(query), np.int64)
+    for s in range(0, len(query), chunk):
+        d2 = ((query[s:s + chunk, None] - pts[None]) ** 2).sum(-1)
+        out[s:s + chunk] = d2.argmin(1)
+    return out
+
+
+def evaluate_pair_ed(pair, cfg, scfg: EDSolverConfig, key, landmark_fn=None):
+    """Returns (flow, flow_gt, overlap) on the valid evaluated points.
+
+    ``landmark_fn(src_pts, tgt_pts) -> (ldmk_s, ldmk_t, valid)`` enables the
+    landmark-guided ED path (Lepard+NICP): landmark coordinates are mapped
+    to the nearest raw-cloud indices, the analogue of the reference's
+    uv -> pcd-index mapping (``registration.py:81-88``).
+    """
     src_depth = _read_depth(pair.depth_paths[0])
     tgt_depth = _read_depth(pair.depth_paths[1]) / 1000.0
     K = pair.cam_intrin
@@ -52,18 +67,30 @@ def evaluate_pair_ed(pair, cfg, scfg: EDSolverConfig, key):
         src_depth, K,
         max_triangle_distance=cfg.get("max_triangle_distance", 0.06),
         node_coverage=cfg.get("node_coverage", 0.09),
-        n_max_neighbors=cfg.get("num_neighbors", 8))
+        n_max_neighbors=cfg.get("num_neighbors", 8),
+        remove_sparse_nodes=cfg.get(
+            "REMOVE_NODES_WITH_NOT_ENOUGH_NEIGHBORS", True))
 
     tgt_pc_img = depth_to_pointcloud(tgt_depth, K)
     tgt_mask = tgt_depth > 0
     tgt_pcd = tgt_pc_img.reshape(3, -1).T[tgt_mask.reshape(-1)].astype(np.float32)
 
-    warped, stats = jax.jit(lambda k, s, t: register_ed(
+    ldmk_kwargs = {}
+    if landmark_fn is not None:
+        ldmk_s, ldmk_t, lvalid = landmark_fn(g.vertices, tgt_pcd)
+        keep = np.asarray(lvalid)
+        s_idx = _nearest_indices(np.asarray(ldmk_s), g.vertices)
+        t_idx = _nearest_indices(np.asarray(ldmk_t), tgt_pcd)
+        ldmk_kwargs = dict(src_ldmk_idx=jnp.array(s_idx),
+                           tgt_ldmk_idx=jnp.array(t_idx),
+                           ldmk_valid=jnp.array(keep))
+
+    warped, stats = jax.jit(lambda k, s, t, **lk: register_ed(
         k, s, t, jnp.array(g.nodes), jnp.array(g.edges),
         jnp.array(g.edge_weights), jnp.array(g.point_anchors),
         jnp.array(g.anchor_weights), scfg,
-        edges_valid=jnp.array(g.edges_valid)))(
-        key, jnp.array(g.vertices), jnp.array(tgt_pcd))
+        edges_valid=jnp.array(g.edges_valid), **lk))(
+        key, jnp.array(g.vertices), jnp.array(tgt_pcd), **ldmk_kwargs)
     warped = np.asarray(warped)
 
     # propagate motion to the sampled evaluation points via the pixel map
@@ -80,14 +107,68 @@ def evaluate_pair_ed(pair, cfg, scfg: EDSolverConfig, key):
     return flow, pair.flow_gt[valid], pair.overlap[valid]
 
 
+def make_landmark_fn(cfg, weights: str | None = None):
+    """Landmark provider for the Lepard+NICP path
+    (``config/baselines/Lepard+NICP.yaml``): Lepard matcher + NeCo outlier
+    rejection on the raw clouds, returning (ldmk_s, ldmk_t, valid)."""
+    from ..data.collate import build_pair_pyramid, calibrate_neighborhood_limits
+    from ..match.backbone import KPFCN_ARCHITECTURE
+    from ..match.landmark import (
+        LandmarkConfig, init_landmark_model, landmark_inference,
+    )
+    from ..utils.checkpoint import load_pytree
+
+    ldmk_yaml = cfg.get("ldmk_config")
+    if ldmk_yaml and os.path.exists(ldmk_yaml):
+        from ..match.config_loader import landmark_config_from_yaml
+
+        lcfg = landmark_config_from_yaml(
+            ldmk_yaml, inlier_thr=cfg.get("inlier_thr", 0.5),
+            reject_outliers=cfg.get("reject_outliers", True))
+    else:
+        lcfg = LandmarkConfig(inlier_thr=cfg.get("inlier_thr", 0.5),
+                              reject_outliers=cfg.get("reject_outliers", True))
+    params = init_landmark_model(jax.random.key(0), lcfg)
+    if weights:
+        params = load_pytree(weights, params)
+
+    ldmk_jit = jax.jit(lambda p, pyr, sl, tl: landmark_inference(
+        p, pyr, sl, tl, lcfg))
+    state: dict = {}
+
+    def landmark_fn(src_pts: np.ndarray, tgt_pts: np.ndarray):
+        if "limits" not in state:
+            state["limits"] = calibrate_neighborhood_limits(
+                [(src_pts, tgt_pts)], lcfg.matcher.kpfcn, KPFCN_ARCHITECTURE)
+        pyr = build_pair_pyramid(src_pts, tgt_pts, lcfg.matcher.kpfcn,
+                                 KPFCN_ARCHITECTURE, state["limits"])
+        pyrd = {"points": [jnp.array(p) for p in pyr.points],
+                "valids": [jnp.array(v) for v in pyr.valids],
+                "neighbors": [jnp.array(x) for x in pyr.neighbors],
+                "pools": [jnp.array(x) for x in pyr.pools],
+                "upsamples": [jnp.array(x) for x in pyr.upsamples],
+                "features": jnp.array(pyr.features)}
+        cl = lcfg.matcher.coarse_level
+        data = ldmk_jit(params, pyrd, jnp.int32(pyr.src_lengths[cl]),
+                        jnp.int32(pyr.tgt_lengths[cl]))
+        return (np.asarray(data["ldmk_s"]), np.asarray(data["ldmk_t"]),
+                np.asarray(data["ldmk_valid"]))
+
+    return landmark_fn
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--splits", nargs="*", default=["4DMatch-F", "4DLoMatch-F"])
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--weights", default=None,
+                    help="npz checkpoint of the landmark model")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
+    landmark_fn = make_landmark_fn(cfg, args.weights) \
+        if cfg.get("use_ldmk", False) else None
     scfg = EDSolverConfig(
         iters=cfg.get("iters", 600), lr=cfg.get("lr", 0.02),
         max_break_count=cfg.get("max_break_count", 30),
@@ -110,7 +191,8 @@ def main():
                 continue
             key, sub = jax.random.split(key)
             timers.tic("graph+registration")
-            flow, flow_gt, overlap = evaluate_pair_ed(pair, cfg, scfg, sub)
+            flow, flow_gt, overlap = evaluate_pair_ed(pair, cfg, scfg, sub,
+                                                      landmark_fn=landmark_fn)
             timers.toc("graph+registration")
             m = compute_flow_metrics(jnp.array(flow), jnp.array(flow_gt),
                                      overlap=jnp.array(overlap))

@@ -96,6 +96,12 @@ def main():
                          ".done file (eval-sweep resume, SURVEY.md §5)")
     args = ap.parse_args()
 
+    # multi-host eval sweep over DCN (SURVEY.md §2.4): when a coordinator is
+    # configured each process takes a strided shard of the pair list
+    from ..parallel.mesh import initialize_distributed
+
+    multi_host = initialize_distributed()
+
     cfg = load_config(args.config)
     snap_dir = os.path.join("snapshot", str(cfg.get("folder", "eval")),
                             str(cfg.get("exp_dir", "run")))
@@ -112,12 +118,18 @@ def main():
             continue
         if args.limit is not None:
             ds.entries = ds.entries[: args.limit]
-        logger = Logger(os.path.join(snap_dir, split + ".log"))
+        if multi_host:
+            ds.entries = ds.entries[jax.process_index()::jax.process_count()]
+        logger = Logger(os.path.join(
+            snap_dir,
+            split + (f".p{jax.process_index()}" if multi_host else "") + ".log"))
         meters: dict[str, AverageMeter] = {}
         n_done = 0
 
         # eval-sweep resume: drop entries recorded in the .done ledger
-        done_path = os.path.join(snap_dir, split + ".done")
+        done_path = os.path.join(
+            snap_dir,
+            split + (f".p{jax.process_index()}" if multi_host else "") + ".done")
         if args.resume and os.path.exists(done_path):
             with open(done_path) as f:
                 finished = set(f.read().split())

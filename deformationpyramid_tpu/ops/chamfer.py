@@ -42,6 +42,25 @@ def _gathered_sum(x: Array, y: Array, idx: Array, x_valid: Array | None,
     return jnp.sum(contrib)
 
 
+def _gathered_normal_sum(x: Array, y: Array, idx: Array,
+                         x_normals: Array, y_normals: Array,
+                         x_valid: Array | None,
+                         trunc: float | Array) -> Array:
+    """Sum over x of 1 - |cos(x_normal_i, y_normal[idx_i])|, zeroed on the
+    same truncation mask as the distance term (``loss.py:200-217``)."""
+    nn_normals = y_normals[idx]
+    sq = jnp.sum((x - y[idx]) ** 2, axis=-1)
+    keep = sq < trunc
+    if x_valid is not None:
+        keep = keep & x_valid
+    # F.cosine_similarity(eps=1e-6): clamp each norm from below by eps
+    nx = jnp.maximum(jnp.linalg.norm(x_normals, axis=-1), 1e-6)
+    ny = jnp.maximum(jnp.linalg.norm(nn_normals, axis=-1), 1e-6)
+    cos = jnp.sum(x_normals * nn_normals, axis=-1) / (nx * ny)
+    contrib = jnp.where(keep, 1.0 - jnp.abs(cos), 0.0)
+    return jnp.sum(contrib)
+
+
 def _one_sided(x: Array, y: Array, x_valid: Array | None, y_valid: Array | None,
                trunc: float | Array, use_pallas: bool | None) -> tuple[Array, Array]:
     """Sum over x of sqrt(min_j ||x_i - y_j||^2), truncated; returns (sum, idx)."""
@@ -56,13 +75,23 @@ def truncated_chamfer(x: Array, y: Array,
                       x_length: Array | None = None,
                       y_length: Array | None = None,
                       trunc: float | Array = 1e9,
-                      use_pallas: bool | None = None) -> Array:
+                      use_pallas: bool | None = None,
+                      x_normals: Array | None = None,
+                      y_normals: Array | None = None,
+                      return_normals: bool = False):
     """Single-pair truncated Chamfer distance (L1 point reduction).
 
     x: [N, 3] (e.g. warped source sample), y: [M, 3] target sample.
     ``x_valid``/``y_valid`` are padding masks (True = real point); the mean is
     taken over ``x_length``/``y_length`` (defaults: mask sum or full N/M),
     matching the reference's lengths-based mean (``loss.py:233-238``).
+
+    With ``return_normals`` (and both normals given), also returns the
+    two-sided cosine-distance term 1 - |cos| between each point's normal and
+    its NN's normal (``loss.py:200-217``; note the reference computes this
+    but its final ``return cham_dist`` drops it, ``loss.py:255-258`` — here
+    it is a real output). The normals term uses the plain mean (no L1 sqrt
+    quirk) like the reference.
     """
     n, m = x.shape[0], y.shape[0]
     if x_length is None:
@@ -78,7 +107,16 @@ def truncated_chamfer(x: Array, y: Array,
                                         y_valid=y_valid, use_pallas=use_pallas)
     sum_x = _gathered_sum(x, y, idx_x, x_valid, trunc)
     sum_y = _gathered_sum(y, x, idx_y, y_valid, trunc)
-    return sum_x / x_length + sum_y / y_length
+    dist = sum_x / x_length + sum_y / y_length
+    if not return_normals:
+        return dist
+    if x_normals is None or y_normals is None:
+        raise ValueError("return_normals requires x_normals and y_normals")
+    norm_x = _gathered_normal_sum(x, y, idx_x, x_normals, y_normals,
+                                  x_valid, trunc)
+    norm_y = _gathered_normal_sum(y, x, idx_y, y_normals, x_normals,
+                                  y_valid, trunc)
+    return dist, norm_x / x_length + norm_y / y_length
 
 
 def batched_truncated_chamfer(x: Array, y: Array,

@@ -3,9 +3,15 @@
 The reference is single-process/single-GPU (SURVEY.md §2.4: no NCCL/MPI
 anywhere); this module is the TPU-native replacement: `jax.sharding.Mesh`
 over ICI with a `data` axis for pair-parallel registration and a `model`
-axis for intra-pair sharded chamfer on giant clouds.
+axis for intra-pair sharded chamfer on giant clouds. For multi-host eval
+sweeps across a DCN-connected slice, ``initialize_distributed`` wires
+``jax.distributed.initialize`` so ``jax.devices()`` spans every host and
+the same (data, model) mesh lays DP shards across hosts (collectives then
+ride ICI within a slice and DCN across slices).
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -14,6 +20,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Multi-host (DCN) runtime init (SURVEY.md §2.4 mesh/runtime row).
+
+    Call once per process before any backend touch. Arguments default to
+    the standard env vars (``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``); under a TPU pod runtime
+    jax auto-detects all three. Returns True when a multi-process runtime
+    was initialized, False for the single-process fallback (the common
+    local case — also used when no coordinator is configured).
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None or (num_processes or 1) <= 1:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,

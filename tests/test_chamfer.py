@@ -150,3 +150,29 @@ def test_nn_argmin_dual_interpret_large_sizes():
     finally:
         pl.pallas_call = orig
         knn._nn_dual_pallas_padded.clear_cache()
+
+
+def test_chamfer_normals_cosine_term():
+    """Two-sided 1-|cos| normals term, zeroed by the same truncation mask
+    (reference loss.py:200-217; computed there but dropped at return)."""
+    from deformationpyramid_tpu.ops.chamfer import truncated_chamfer
+
+    x = jnp.array([[0.0, 0, 0], [1.0, 0, 0], [5.0, 0, 0]])
+    y = jnp.array([[0.1, 0, 0], [1.1, 0, 0]])
+    xn = jnp.array([[0.0, 0, 1], [0.0, 1, 0], [1.0, 0, 0]])
+    # NN of x0 is y0, NN of x1 is y1; x2 is truncated (d^2=15.21 > 1)
+    yn = jnp.array([[0.0, 0, 1], [1.0, 0, 0]])
+    dist, norm = truncated_chamfer(x, y, trunc=1.0, use_pallas=False,
+                                   x_normals=xn, y_normals=yn,
+                                   return_normals=True)
+    # x-side: x0 aligned (0), x1 orthogonal (1), x2 truncated (0) -> mean 1/3
+    # y-side: y0->x0 aligned (0), y1->x1 orthogonal (1) -> mean 1/2
+    assert np.isclose(float(norm), 1 / 3 + 1 / 2, atol=1e-5)
+    # distance term unchanged by normals
+    d_only = truncated_chamfer(x, y, trunc=1.0, use_pallas=False)
+    assert np.isclose(float(dist), float(d_only), atol=1e-7)
+    # antiparallel normals count as aligned (abs cosine)
+    dist2, norm2 = truncated_chamfer(
+        x, y, trunc=1.0, use_pallas=False,
+        x_normals=-xn, y_normals=yn, return_normals=True)
+    assert np.isclose(float(norm2), float(norm), atol=1e-6)

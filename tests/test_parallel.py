@@ -63,3 +63,29 @@ def test_sharded_nn_min_matches_dense():
     got = np.asarray(fn(jnp.array(x), jnp.array(y)))
     ref = ((x[:, None] - y[None]) ** 2).sum(-1).min(1)
     assert np.allclose(got, ref, atol=1e-5)
+
+
+def test_initialize_distributed_single_process_noop(monkeypatch):
+    from deformationpyramid_tpu.parallel import mesh as M
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert M.initialize_distributed() is False
+
+
+def test_initialize_distributed_wires_coordinator(monkeypatch):
+    import jax
+    from deformationpyramid_tpu.parallel import mesh as M
+
+    calls = {}
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None):
+        calls.update(addr=coordinator_address, n=num_processes,
+                     pid=process_id)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert M.initialize_distributed() is True
+    assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
