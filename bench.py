@@ -65,6 +65,8 @@ def main_streaming(total: int = 16, n_slots: int = 4, n_points: int = 2000,
 
 
 def main(chunk: int = 4, total: int = 16, n_points: int = 2000) -> None:
+    import sys
+
     fn = jax.jit(lambda k, s, t: register_batch(k, s, t, CFG))
 
     # compile + warm-up (np.asarray forces a real device sync;
@@ -83,12 +85,34 @@ def main(chunk: int = 4, total: int = 16, n_points: int = 2000) -> None:
                        jnp.array(s2), jnp.array(t2)))
 
     t0 = time.perf_counter()
-    outs = [fn(k, s, t)[0] for (k, s, t) in chunks]  # async stream
-    for w in outs:
+    outs = [fn(k, s, t) for (k, s, t) in chunks]  # async stream
+    for w, _ in outs:
         np.asarray(w)
     dt = time.perf_counter() - t0
 
     pairs_per_sec = total / dt
+
+    # secondary diagnostics (stderr; stdout stays one JSON line):
+    # lockstep iterations actually executed = sum over chunks/levels of the
+    # batch max, since converged pairs wait for the chunk's laggard
+    total_iters = sum(int(np.asarray(st["iters"]).max(axis=0).sum())
+                      for _, st in outs)
+    ms_per_iter = dt * 1e3 / max(total_iters, 1)
+    # per-iteration useful FLOPs at B=chunk: MLP fwd+bwd (~3x fwd) +
+    # dual-direction chamfer distance tiles
+    n_pad = 2048
+    w = CFG.pyramid.width
+    mlp_fwd = n_pad * (6 * w + (CFG.pyramid.depth - 1) * w * w + w * 6) * 2
+    cham = n_pad * n_pad * (3 + 4) * 2
+    flops_per_iter = chunk * (3 * mlp_fwd + cham)
+    mfu = flops_per_iter / (ms_per_iter * 1e-3) / 197e12  # v5e bf16 peak
+    print(json.dumps({
+        "ms_per_iteration": round(ms_per_iter, 4),
+        "lockstep_iters": total_iters,
+        "mfu_vs_v5e_peak": round(mfu, 5),
+        "chunk": chunk,
+    }), file=sys.stderr)
+
     print(json.dumps({
         "metric": "ndp_registration_throughput",
         "value": round(pairs_per_sec, 3),

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..models.pyramid import NDPConfig, init_pyramid_params, level_warp, warp
 from .loop import LoopConfig, run_adam_loop
 from ..ops.chamfer import truncated_chamfer
+from ..ops.fused_level import fused_level_warp, supports_fused
 
 Array = jax.Array
 
@@ -52,6 +53,7 @@ class SolverConfig:
     trunc_cd: float = 0.25   # chamfer truncation in landmark mode (squared)
     loss_eps: float = 1e-4
     use_pallas: bool | None = None
+    use_fused: bool | None = None  # fused level-warp kernels (None = auto)
 
 
 def _bce_zeros(p: Array, valid: Array | None = None) -> Array:
@@ -75,9 +77,18 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
     Returns (updated level params, warped pts from last evaluation, stats).
     """
     pcfg = cfg.pyramid
+    # Fused level-warp kernels are opt-in: the A/B on the tunneled v5e chip
+    # measured 0.397 (fused) vs 0.377 (unfused) ms/iteration at B=4 — the
+    # kernel boundaries trade ~1:1 against XLA's own fusion here because
+    # every [N, 3] tensor pads to 128 lanes inside the kernel. Kept for
+    # experimentation and as the base of the fully-fused iteration kernel.
+    fused = bool(cfg.use_fused) and supports_fused(pcfg) and cfg.w_reg == 0
 
     def loss_fn(p):
-        warped, nr = level_warp(p, pts, lvl, pcfg)
+        if fused:
+            warped, nr = fused_level_warp(p, pts, lvl, pcfg), None
+        else:
+            warped, nr = level_warp(p, pts, lvl, pcfg)
         if n_ldmk > 0:
             w_ldmk = warped[:n_ldmk]
             sq = jnp.sum((w_ldmk - tgt_ldmk) ** 2, axis=-1)

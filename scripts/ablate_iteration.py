@@ -1,0 +1,157 @@
+"""Per-iteration cost breakdown of the NDP solver hot loop (TPU ablation).
+
+The tunneled profiler hangs, so time components by fori-loop ablation:
+each piece runs ITERS times inside one jitted loop with a loop-carried
+dependency (defeats CSE/DCE), synced via np.asarray.
+
+Usage: python scripts/ablate_iteration.py [B] [ITERS]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import optax
+
+from deformationpyramid_tpu.data.synthetic import make_batch
+from deformationpyramid_tpu.models.pyramid import (
+    NDPConfig, init_pyramid_params, level_params, level_warp,
+)
+from deformationpyramid_tpu.ops.chamfer import truncated_chamfer
+from deformationpyramid_tpu.ops.knn import nn_argmin_dual
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+N = 2000
+
+CFG = NDPConfig(m=9, k0=-8, depth=3, width=128,
+                rotation_format="axis_angle", motion="SE3")
+
+
+def timeit(name, fn, *args):
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])  # compile + sync
+    t0 = time.perf_counter()
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])
+    dt = (time.perf_counter() - t0) / ITERS * 1e3
+    print(f"{name:34s} {dt:8.4f} ms/iter")
+    return dt
+
+
+def main():
+    srcs, tgts, _ = make_batch(B, n=N, seed=0, deform=0.12)
+    x = jnp.array(srcs)
+    y = jnp.array(tgts)
+    keys = jax.random.split(jax.random.key(0), B)
+    params_b = jax.vmap(lambda k: init_pyramid_params(k, CFG))(keys)
+    lvl = jnp.int32(4)
+
+    lp_b = jax.vmap(lambda p: level_params(p, lvl))(params_b)
+    flat0, unravel = jax.flatten_util.ravel_pytree(
+        jax.tree.map(lambda a: a[0], lp_b))
+    flat_b = jax.vmap(lambda p: jax.flatten_util.ravel_pytree(p)[0])(lp_b)
+
+    # ---- 1. MLP warp forward only
+    @jax.jit
+    def mlp_fwd(xb):
+        def one(x1):
+            def body(i, c):
+                w, _ = level_warp(unravel(flat0), c, lvl, CFG)
+                return c + 1e-9 * w
+            return jax.lax.fori_loop(0, ITERS, body, x1)
+        return jax.vmap(one)(xb)
+
+    timeit("mlp fwd", mlp_fwd, x)
+
+    # ---- 2. MLP fwd+bwd (loss = sum of warped^2)
+    @jax.jit
+    def mlp_fwdbwd(fb, xb):
+        def one(f, x1):
+            def loss(fl):
+                w, _ = level_warp(unravel(fl), x1, lvl, CFG)
+                return jnp.sum(w * w)
+            def body(i, c):
+                g = jax.grad(loss)(c)
+                return c + 1e-9 * g
+            return jax.lax.fori_loop(0, ITERS, body, f)
+        return jax.vmap(one)(fb, xb)
+
+    timeit("mlp fwd+bwd", mlp_fwdbwd, flat_b, x)
+
+    # ---- 3. chamfer dual kernel only (argmin sweep)
+    @jax.jit
+    def cham_kernel(xb, yb):
+        def one(x1, y1):
+            def body(i, c):
+                _, ix, _, iy = nn_argmin_dual(c, y1, use_pallas=True)
+                return c + 1e-12 * ix[:, None].astype(jnp.float32)
+            return jax.lax.fori_loop(0, ITERS, body, x1)
+        return jax.vmap(one)(xb, yb)
+
+    timeit("chamfer dual kernel", cham_kernel, x, y)
+
+    # ---- 4. chamfer loss fwd+bwd (kernel + gathers + L1 + grads)
+    @jax.jit
+    def cham_fwdbwd(xb, yb):
+        def one(x1, y1):
+            def loss(xx):
+                return truncated_chamfer(xx, y1, use_pallas=True)
+            def body(i, c):
+                g = jax.grad(loss)(c)
+                return c + 1e-9 * g
+            return jax.lax.fori_loop(0, ITERS, body, x1)
+        return jax.vmap(one)(xb, yb)
+
+    timeit("chamfer loss fwd+bwd", cham_fwdbwd, x, y)
+
+    # ---- 5. full loss fwd+bwd (warp + chamfer), grads wrt params
+    @jax.jit
+    def full_fwdbwd(fb, xb, yb):
+        def one(f, x1, y1):
+            def loss(fl):
+                w, _ = level_warp(unravel(fl), x1, lvl, CFG)
+                return truncated_chamfer(w, y1, use_pallas=True)
+            def body(i, c):
+                g = jax.grad(loss)(c)
+                return c + 1e-9 * g
+            return jax.lax.fori_loop(0, ITERS, body, f)
+        return jax.vmap(one)(fb, xb, yb)
+
+    timeit("full loss fwd+bwd", full_fwdbwd, flat_b, x, y)
+
+    # ---- 6. production iteration: loss fwd+bwd + adam + early-stop scalars
+    opt = optax.adam(0.01)
+
+    @jax.jit
+    def full_iter(fb, xb, yb):
+        def one(f, x1, y1):
+            def loss(fl):
+                w, _ = level_warp(unravel(fl), x1, lvl, CFG)
+                return truncated_chamfer(w, y1, use_pallas=True), w
+            st0 = opt.init(f)
+            def body(i, c):
+                f, st, lp, cnt = c
+                (l, w), g = jax.value_and_grad(loss, has_aux=True)(f)
+                done = (l < 1e-4) | (cnt >= 15)
+                upd, st2 = opt.update(g, st, f)
+                f2 = optax.apply_updates(f, upd)
+                keep = lambda a, b: jnp.where(done, b, a)
+                plateau = jnp.abs(lp - l) < lp * 1e-3
+                return (jax.tree.map(keep, f2, f), jax.tree.map(keep, st2, st),
+                        jnp.where(done, lp, l), cnt + plateau.astype(jnp.int32) * 0)
+            out = jax.lax.fori_loop(0, ITERS, body,
+                                    (f, st0, jnp.float32(1e6), jnp.int32(0)))
+            return out[0]
+        return jax.vmap(one)(fb, xb, yb)
+
+    timeit("full iteration (loss+adam+stop)", full_iter, flat_b, x, y)
+
+
+if __name__ == "__main__":
+    main()
