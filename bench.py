@@ -7,11 +7,13 @@ depth=3, width=128, iters=500/level, lr=0.01, samples=2000, SE3+axis_angle,
 early-stop 15@0.001) on synthetic deformable pairs — vs the reference's
 strictly sequential per-pair PyTorch loop (eval_nolearned.py:70).
 
-Batching strategy (measured, see CLAUDE.md): per-iteration cost is linear in
-the vmap width even at B=4 (the chip saturates on a single pair's work), so
-large batches only add lockstep-tail waste — the batched while_loop runs
-until the slowest pair converges. Small chunks win: B=4 chunks streamed
-back-to-back.
+Batching strategy (measured, see docs/PERFORMANCE.md): per-iteration cost
+is linear in the vmap width ALL THE WAY DOWN TO B=1 (the chip saturates on
+a single pair's serial chain), so any batching only adds lockstep-tail
+waste — the batched while_loop runs until the slowest pair in the chunk
+converges. B=1 chunks streamed asynchronously are strictly best: measured
+0.106 ms/iter and 8.37 pairs/s vs 0.377 ms/iter and 5.85 pairs/s at B=4
+(round-2 A/B on the same chip).
 
 Baseline: the NDP paper/reference reports ~1.5 s/pair on a desktop GPU
 (sequential Adam loop with a host sync per iteration); BASELINE.md records no
@@ -64,7 +66,7 @@ def main_streaming(total: int = 16, n_slots: int = 4, n_points: int = 2000,
     }))
 
 
-def main(chunk: int = 4, total: int = 16, n_points: int = 2000) -> None:
+def main(chunk: int = 1, total: int = 32, n_points: int = 2000) -> None:
     import sys
 
     fn = jax.jit(lambda k, s, t: register_batch(k, s, t, CFG))
