@@ -45,3 +45,43 @@ def make_batch(b: int, n: int = 2000, seed: int = 0, deform: float = 0.15):
         s, t, f = make_pair(n=n, seed=seed + i, deform=deform)
         srcs.append(s); tgts.append(t); flows.append(f)
     return np.stack(srcs), np.stack(tgts), np.stack(flows)
+
+
+def write_4dmatch_suite(root: str, split: str, n_pairs: int = 100,
+                        size_clusters: tuple[int, ...] = (1500, 3000, 8000,
+                                                          15000, 28000),
+                        seed: int = 0, partial: float = 0.85,
+                        deform: float = 0.12) -> list[str]:
+    """Fabricate a 4DMatch-format npz suite at realistic point counts.
+
+    Emits the exact reference field layout (``_4dmatch.py:60-73``): rot /
+    trans / s2t_flow / s_pc / t_pc / correspondences / metric_index, with
+    GT convention R (Ps + flow) + t = Pt. Point counts are drawn from
+    ``size_clusters`` (+-8% jitter) so the BucketBatcher sees a handful of
+    compiled shapes, mirroring 4DMatch's clustered cloud sizes. The target
+    keeps a random ``partial`` fraction of points (partial overlap).
+    """
+    import os
+
+    rng = np.random.default_rng(seed)
+    out_dir = os.path.join(root, split, "seq0")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(n_pairs):
+        base = int(rng.choice(size_clusters))
+        n = int(base * (1.0 + rng.uniform(-0.08, 0.08)))
+        src, tgt_dense, flow = make_pair(n=n, seed=seed * 1000 + i,
+                                         deform=deform)
+        ang = float(rng.uniform(-0.2, 0.2))
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        trans = rng.uniform(-0.1, 0.1, (3, 1)).astype(np.float32)
+        tgt = (rot @ (src + flow).T + trans).T.astype(np.float32)
+        keep_t = rng.permutation(n)[: int(n * partial)]
+        corr = np.stack([keep_t, np.arange(len(keep_t))], 1)
+        path = os.path.join(out_dir, f"pair{i:04d}.npz")
+        np.savez(path, rot=rot, trans=trans, s2t_flow=flow, s_pc=src,
+                 t_pc=tgt[keep_t], correspondences=corr,
+                 metric_index=rng.permutation(n)[:500])
+        paths.append(path)
+    return paths

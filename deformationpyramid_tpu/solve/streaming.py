@@ -1,12 +1,21 @@
-"""Continuous-batching (slot-refill) registration solver.
+"""Continuous-batching (slot-refill) registration solver. **PARKED.**
 
-The lockstep problem: a vmapped while_loop runs every pair until the
-SLOWEST pair in the batch converges — measured ~40% wasted iterations at
-B=16 (docs/PERFORMANCE.md). This module removes the tail: solver state
-lives in device buffers with a leading slot axis; a jitted ``multi_step``
-advances every active slot by k iterations (done slots are masked no-ops);
-the host polls the tiny ``done`` flags, harvests finished pairs, and refills
-their slots with fresh work. Utilization stays ~100% at any batch width.
+Round-2 verdict (docs/PERFORMANCE.md): per-iteration cost is linear in
+the batch width down to B=1, so asynchronously streamed B=1 ``register_pair``
+programs have ZERO lockstep tail and strictly dominate this design on a
+single chip (8.4 vs 1.2 pairs/s measured). Slot-refill only makes sense
+when a single pair cannot saturate the chip (e.g. much wider MLPs); the
+module is kept because its semantics are proven identical to the scan
+solver (tests/test_streaming.py) and the state machinery is the base for
+any future in-program batching.
+
+The lockstep problem it was built for: a vmapped while_loop runs every
+pair until the SLOWEST pair in the batch converges — measured ~40% wasted
+iterations at B=16. Solver state lives in device buffers with a leading
+slot axis; a jitted ``multi_step`` advances every active slot by k
+iterations (done slots are masked no-ops); the host polls the tiny
+``done`` flags, harvests finished pairs, and refills their slots with
+fresh work.
 
 Semantics per pair are IDENTICAL to ``solve/registration.py`` (same
 early-stop rules, level transitions, Adam updates, level-carry quirk) — the

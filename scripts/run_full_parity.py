@@ -1,0 +1,137 @@
+"""Incremental runner for the full-config parity oracle.
+
+One reference torch run at the full NDP config takes ~370 s on this 1-core
+CPU, so the sweep is checkpointed per cell in a JSONL ledger and driven by
+repeated invocations (each bounded by the harness timeout):
+
+* ``ours`` cells run on the DEFAULT backend (the tunneled TPU — the
+  production path, ~0.15 s/pair after one compile): all pairs x seeds in
+  one invocation.
+* ``ref`` cells run one PAIR per invocation (torch CPU, ~6 min each).
+
+Usage: python scripts/run_full_parity.py [ledger.jsonl] [mode]
+  mode: 'ours' | 'ref' | 'auto' (default: auto = ours first, then one ref)
+Prints running means; prints ALL CELLS DONE + a summary JSON when complete.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+LEDGER = sys.argv[1] if len(sys.argv) > 1 else "/tmp/full_parity.jsonl"
+MODE = sys.argv[2] if len(sys.argv) > 2 else "auto"
+
+N_PAIRS, N_SEEDS, N_PTS = 8, 2, 2000
+FULL = dict(m=9, k0=-8, depth=3, width=128, iters=500, lr=0.01,
+            samples=2000, max_break_count=15, break_threshold_ratio=0.001)
+
+
+def load_rows():
+    rows = []
+    if os.path.exists(LEDGER):
+        for line in open(LEDGER):
+            rows.append(json.loads(line))
+    return rows
+
+
+def append(row):
+    with open(LEDGER, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def summarize(rows):
+    ref = [r["epe"] for r in rows if r["kind"] == "ref"]
+    ours = [r["epe"] for r in rows if r["kind"] == "ours"]
+    init = [r["epe_init"] for r in rows if r["kind"] == "ref"]
+    if not ref or not ours:
+        return
+    mr, mo = float(np.mean(ref)), float(np.mean(ours))
+    print(f"running: ref {mr*100:.3f} cm ({len(ref)} runs), "
+          f"ours {mo*100:.3f} cm ({len(ours)} runs), "
+          f"gap {abs(mo-mr)/mr*100:.2f}%", flush=True)
+    if len(ref) == N_PAIRS and len(ours) == N_PAIRS * N_SEEDS:
+        print(json.dumps({
+            "mean_ref_cm": mr * 100, "mean_ours_cm": mo * 100,
+            "mean_init_cm": float(np.mean(init)) * 100,
+            "rel_gap_pct": abs(mo - mr) / mr * 100,
+            "ref_runs": len(ref), "ours_runs": len(ours),
+            "config": FULL,
+        }))
+        print("ALL CELLS DONE")
+
+
+def run_ours(rows):
+    import jax
+    import jax.numpy as jnp
+    from deformationpyramid_tpu.data.synthetic import make_pair
+    from deformationpyramid_tpu.models.pyramid import NDPConfig
+    from deformationpyramid_tpu.solve.registration import (
+        SolverConfig, register_pair,
+    )
+
+    done = {(r["pair"], r["seed"]) for r in rows if r["kind"] == "ours"}
+    todo = [(p, s) for p in range(N_PAIRS) for s in range(N_SEEDS)
+            if (p, s) not in done]
+    if not todo:
+        return rows
+    scfg = SolverConfig(
+        pyramid=NDPConfig(m=FULL["m"], k0=FULL["k0"], depth=FULL["depth"],
+                          width=FULL["width"]),
+        iters=FULL["iters"], lr=FULL["lr"],
+        max_break_count=FULL["max_break_count"],
+        break_threshold_ratio=FULL["break_threshold_ratio"],
+        samples=FULL["samples"])
+    fn = jax.jit(lambda k, s, t: register_pair(k, s, t, scfg))
+    for p, s in todo:
+        src, tgt, flow_gt = make_pair(n=N_PTS, seed=p, deform=0.12)
+        warped, _ = fn(jax.random.key(p * 100 + s), jnp.array(src),
+                       jnp.array(tgt))
+        epe = float(np.linalg.norm(
+            (np.asarray(warped) - src) - flow_gt, axis=1).mean())
+        row = {"kind": "ours", "pair": p, "seed": s, "epe": epe,
+               "backend": jax.default_backend()}
+        append(row)
+        rows.append(row)
+        print(f"ours pair {p} seed {s}: {epe*100:.3f} cm", flush=True)
+    return rows
+
+
+def run_one_ref(rows):
+    from test_full_config_parity import _reference_epe
+    from deformationpyramid_tpu.data.synthetic import make_pair
+
+    done = {r["pair"] for r in rows if r["kind"] == "ref"}
+    todo = [p for p in range(N_PAIRS) if p not in done]
+    if not todo:
+        return rows
+    p = todo[0]
+    src, tgt, flow_gt = make_pair(n=N_PTS, seed=p, deform=0.12)
+    epe = _reference_epe(src, tgt, flow_gt, seed=p)
+    row = {"kind": "ref", "pair": p, "seed": p, "epe": epe,
+           "epe_init": float(np.linalg.norm(flow_gt, axis=1).mean())}
+    append(row)
+    rows.append(row)
+    print(f"ref pair {p}: {epe*100:.3f} cm", flush=True)
+    return rows
+
+
+def main():
+    rows = load_rows()
+    ours_missing = len([r for r in rows if r["kind"] == "ours"]) \
+        < N_PAIRS * N_SEEDS
+    if MODE == "ours" or (MODE == "auto" and ours_missing):
+        rows = run_ours(rows)
+    elif MODE in ("ref", "auto"):
+        rows = run_one_ref(rows)
+    summarize(rows)
+
+
+if __name__ == "__main__":
+    main()
