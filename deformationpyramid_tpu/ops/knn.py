@@ -10,6 +10,14 @@ is a pure integer-output kernel with no VJP, and fwd+bwd of the loss are O(N).
 The Pallas kernel streams tiles of the (N, M) squared-distance matrix through
 VMEM with a running (min, argmin) carry — flash-attention-style streaming min,
 never materializing N^2 in HBM.
+
+PRECISION IS LOAD-BEARING: every distance matmul runs at
+``Precision.HIGHEST``. The TPU MXU's default bf16 pass puts ~1e-3 absolute
+noise on ``x.y``, which flips argmin choices once true NN distances drop
+below ~1e-3 — the solver's chamfer loss then floors at sqrt(1e-3) ~= 0.03
+instead of the f32 floor ~3e-4, breaking convergence parity with the
+reference (measured round 2: near-zero chamfer 0.0298 default vs 0.0003
+HIGHEST). K=3, so the extra matmul passes cost nothing.
 """
 from __future__ import annotations
 
@@ -50,7 +58,8 @@ def nn_argmin_xla(x: Array, y: Array, y_valid: Array | None = None) -> tuple[Arr
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [N, 1]
     y2 = jnp.sum(y * y, axis=-1)  # [M]
     d = x2 + y2[None, :] - 2.0 * jax.lax.dot_general(
-        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if y_valid is not None:
         d = jnp.where(y_valid[None, :], d, _BIG)
@@ -85,6 +94,7 @@ def _nn_kernel(x_ref, y_ref, y2_ref, dist_ref, idx_ref, *, tm: int, m_pad: int):
         d = x2 + y2_tile[None, :] - 2.0 * jax.lax.dot_general(
             x, y_tile, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         tile_min = jnp.min(d, axis=-1, keepdims=True)  # [TN, 1]
         cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + j * tm
@@ -187,7 +197,8 @@ def _nn_dual_kernel(x_ref, y_ref, x2_ref, y2_ref,
         else:
             d = x2[:, None] + y2_t[None, :] - 2.0 * jax.lax.dot_general(
                 x, y_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
         # rows: fold this y-tile into the x-tile's running minima
         tile_rmin = jnp.min(d, axis=1, keepdims=True)

@@ -134,7 +134,8 @@ def sharded_nn_min(mesh: Mesh):
         x2 = jnp.sum(x * x, axis=-1, keepdims=True)
         y2 = jnp.sum(y * y, axis=-1)
         d = x2 + y2[None, :] - 2.0 * jax.lax.dot_general(
-            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         local_min = jnp.min(d, axis=-1)
         return jax.lax.pmin(local_min, MODEL_AXIS)
 

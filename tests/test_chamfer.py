@@ -176,3 +176,16 @@ def test_chamfer_normals_cosine_term():
         x, y, trunc=1.0, use_pallas=False,
         x_normals=-xn, y_normals=yn, return_normals=True)
     assert np.isclose(float(norm2), float(norm), atol=1e-6)
+
+
+def test_chamfer_near_zero_floor_precision():
+    """Regression test for the TPU argmin precision bug (round 2): the
+    distance matmul must run at Precision.HIGHEST or the MXU's default
+    bf16 pass flips argmin choices below ~1e-3, flooring the loss at
+    sqrt(1e-3) ~= 0.03 instead of the f32 floor ~3e-4. Trivial on CPU;
+    load-bearing on TPU."""
+    rng = np.random.default_rng(1)
+    x = jnp.array(rng.normal(size=(2000, 3)), jnp.float32)
+    x2 = x + 1e-4 * jnp.array(rng.normal(size=(2000, 3)), jnp.float32)
+    c = float(truncated_chamfer(x, x2))
+    assert c < 1e-3, c
