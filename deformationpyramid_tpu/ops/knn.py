@@ -235,7 +235,9 @@ def _nn_dual_kernel(x_ref, y_ref, x2_ref, y2_ref,
 
 @functools.partial(jax.jit, static_argnames=("tn", "elementwise"))
 def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
-                           tn: int = 512, elementwise: bool = False):
+                           tn: int = 512, elementwise: bool = True):
+    # elementwise default: exact-f32 FMA distances measured 16% faster than
+    # the Precision.HIGHEST K=3 matmul (0.047 vs 0.055 ms/sweep, round 2)
     n_pad, d = x_pad.shape
     m_pad = y_pad.shape[0]
     tm = min(m_pad, 2048)
