@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import numpy as np
@@ -94,6 +95,10 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="skip pairs already recorded in the split's "
                          ".done file (eval-sweep resume, SURVEY.md §5)")
+    ap.add_argument("--square-buckets", action="store_true", default=True,
+                    help="pad src/tgt to the same bucket (fewer compiles)")
+    ap.add_argument("--no-square-buckets", dest="square_buckets",
+                    action="store_false")
     args = ap.parse_args()
 
     # multi-host eval sweep over DCN (SURVEY.md §2.4): when a coordinator is
@@ -126,19 +131,33 @@ def main():
         meters: dict[str, AverageMeter] = {}
         n_done = 0
 
-        # eval-sweep resume: drop entries recorded in the .done ledger
-        done_path = os.path.join(
-            snap_dir,
-            split + (f".p{jax.process_index()}" if multi_host else "") + ".done")
+        # eval-sweep resume: the .pairs.jsonl ledger records every finished
+        # pair's metrics, so a resumed sweep both skips finished pairs AND
+        # recovers their contribution to the final aggregates
+        suffix = f".p{jax.process_index()}" if multi_host else ""
+        done_path = os.path.join(snap_dir, split + suffix + ".done")
+        ledger_path = os.path.join(snap_dir, split + suffix + ".pairs.jsonl")
         if args.resume and os.path.exists(done_path):
             with open(done_path) as f:
                 finished = set(f.read().split())
             before = len(ds.entries)
             ds.entries = [e for e in ds.entries if e not in finished]
             print(f"[resume] {before - len(ds.entries)} pairs already done")
+            if os.path.exists(ledger_path):
+                recovered = set()
+                for line in open(ledger_path):
+                    row = json.loads(line)
+                    name = row.pop("name", None)
+                    if name in finished and name not in recovered:
+                        recovered.add(name)
+                        for k2, v in row.items():
+                            meters.setdefault(k2, AverageMeter()).update(v)
+                n_done = len(recovered)
         done_fw = open(done_path, "a")
+        ledger_fw = open(ledger_path, "a")
 
-        for batch in BucketBatcher(ds, args.batch):
+        for batch in BucketBatcher(ds, args.batch,
+                                   square=args.square_buckets):
             b = batch.src.shape[0]
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, b)
@@ -173,9 +192,12 @@ def main():
                 m = compute_flow_metrics(
                     jnp.array(flow), jnp.array(flow_gt),
                     overlap=jnp.array(overlap))
-                for k2, v in m.items():
-                    meters.setdefault(k2, AverageMeter()).update(float(v))
+                row = {k2: float(v) for k2, v in m.items()}
+                for k2, v in row.items():
+                    meters.setdefault(k2, AverageMeter()).update(v)
                 n_done += 1
+                ledger_fw.write(json.dumps(dict(row, name=pair.name)) + "\n")
+                ledger_fw.flush()
                 done_fw.write(pair.name + "\n")
                 done_fw.flush()
 

@@ -158,10 +158,16 @@ class BucketBatcher:
     by repeating its final pair (mask ``indices`` for metric accounting).
     """
 
-    def __init__(self, dataset, batch_size: int, min_bucket: int = 1024):
+    def __init__(self, dataset, batch_size: int, min_bucket: int = 1024,
+                 square: bool = False):
+        """``square=True`` pads src and tgt to the SAME bucket size
+        (max of the two): compiled-shape count drops from O(k^2) bucket
+        combinations to O(k) — each distinct solver shape costs a 2-4 min
+        TPU compile, which dominated the first full-sweep benchmark."""
         self.ds = dataset
         self.b = batch_size
         self.min_bucket = min_bucket
+        self.square = square
 
     def __iter__(self):
         buckets: dict[tuple[int, int], list[tuple[int, Pair]]] = {}
@@ -169,6 +175,8 @@ class BucketBatcher:
             p = self.ds[i]
             key = (_bucket_size(len(p.src), self.min_bucket),
                    _bucket_size(len(p.tgt), self.min_bucket))
+            if self.square:
+                key = (max(key), max(key))
             buckets.setdefault(key, []).append((i, p))
             if len(buckets[key]) == self.b:
                 yield self._emit(key, buckets.pop(key))

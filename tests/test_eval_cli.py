@@ -90,3 +90,43 @@ def test_eval_cli_runs(tmp_path, config, extra):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "score on 4DMatch-F" in out.stdout
     assert "full-epe" in out.stdout
+
+
+def test_write_4dmatch_suite_gt_convention(tmp_path):
+    """Fabricated suite obeys the reference npz layout and GT convention
+    R (Ps + flow) + t = Pt on corresponding rows (_4dmatch.py:152)."""
+    from deformationpyramid_tpu.data.synthetic import write_4dmatch_suite
+
+    root = str(tmp_path / "fab")
+    paths = write_4dmatch_suite(root, "4DMatch-F", n_pairs=4,
+                                size_clusters=(800, 1500), seed=3)
+    assert len(paths) == 4
+    ds = FourDMatchDataset(root, "4DMatch-F")
+    assert len(ds) == 4
+    for i in range(4):
+        raw = np.load(paths[i])
+        warped = (raw["rot"] @ (raw["s_pc"] + raw["s2t_flow"]).T
+                  + raw["trans"]).T
+        corr = raw["correspondences"]
+        assert np.allclose(warped[corr[:, 0]], raw["t_pc"][corr[:, 1]],
+                           atol=1e-5)
+        p = ds[i]
+        # reader composes the full motion: flow_gt = R(Ps+flow)+t - Ps
+        assert np.allclose(p.flow_gt, warped - raw["s_pc"], atol=1e-5)
+
+
+def test_bucket_batcher_square_mode(tmp_path):
+    from deformationpyramid_tpu.data.fourdmatch import BucketBatcher
+
+    root = str(tmp_path / "sq")
+    write_synthetic_4dmatch(root, "s", n_pairs=4, n_pts=300)
+    ds = FourDMatchDataset(root, "s")
+    # force different src/tgt sizes by subsampling targets happens via
+    # partial overlap in the writer (tgt = 80% of src)
+    shapes = {(b.src.shape[1], b.tgt.shape[1])
+              for b in BucketBatcher(ds, 2, min_bucket=128, square=True)}
+    assert all(s == t for s, t in shapes), shapes
+    # metrics accounting unaffected: every pair emitted exactly once
+    idx = [i for b in BucketBatcher(ds, 2, min_bucket=128, square=True)
+           for i in dict.fromkeys(b.indices)]
+    assert sorted(set(idx)) == [0, 1, 2, 3]
