@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 import numpy as np
 
@@ -31,7 +32,7 @@ from ..solve.baselines import (
     register_nsfp, register_nerfies, register_sinkhorn,
 )
 from ..utils.config import AttrDict, load_config
-from ..utils.logging import AverageMeter, Logger
+from ..utils.logging import AverageMeter, Logger, write_run_provenance
 from ..utils.timers import Timers
 
 
@@ -84,6 +85,14 @@ def solver_from_config(cfg: AttrDict):
                    "(ED requires the depth/graph eval path)")
 
 
+def _metric_device():
+    """Local CPU device for per-pair metric math (falls back to default)."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return jax.devices()[0]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -99,6 +108,15 @@ def main():
                     help="pad src/tgt to the same bucket (fewer compiles)")
     ap.add_argument("--no-square-buckets", dest="square_buckets",
                     action="store_false")
+    ap.add_argument("--stream", action="store_true",
+                    help="B=1 async pipeline instead of synchronous "
+                         "mega-batches (fastest on one chip)")
+    ap.add_argument("--depth", type=int, default=16,
+                    help="in-flight program window for --stream")
+    ap.add_argument("--visualize", action="store_true",
+                    help="save a src/tgt/warped render per pair under the "
+                         "snapshot dir (headless PNG; reference "
+                         "eval_nolearned.py:31,149 shows a mayavi window)")
     args = ap.parse_args()
 
     # multi-host eval sweep over DCN (SURVEY.md §2.4): when a coordinator is
@@ -111,6 +129,7 @@ def main():
     snap_dir = os.path.join("snapshot", str(cfg.get("folder", "eval")),
                             str(cfg.get("exp_dir", "run")))
     os.makedirs(snap_dir, exist_ok=True)
+    write_run_provenance(snap_dir, args.config)
 
     scfg, run_batch, flow_scope = solver_from_config(cfg)
     timers = Timers()
@@ -156,22 +175,16 @@ def main():
         done_fw = open(done_path, "a")
         ledger_fw = open(ledger_path, "a")
 
-        for batch in BucketBatcher(ds, args.batch,
-                                   square=args.square_buckets):
-            b = batch.src.shape[0]
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, b)
-            timers.tic("registration")
-            out = run_batch(keys, jnp.array(batch.src), jnp.array(batch.tgt),
-                            jnp.array(batch.src_valid), jnp.array(batch.tgt_valid))
+        def harvest(batch, out):
+            """Sync one dispatched batch and fold its pairs into the meters."""
+            nonlocal n_done
             if flow_scope == "subset":
-                moved, s_valid, s_idx, stats = out
+                moved, s_valid, s_idx, _ = out
                 moved, s_valid, s_idx = map(np.asarray, (moved, s_valid, s_idx))
+                warped = None
             else:
-                warped, stats = out
+                warped, _ = out
                 warped = np.asarray(warped)
-            timers.toc("registration")
-
             seen = set()
             for j, ds_idx in enumerate(batch.indices):
                 if ds_idx in seen:  # padding repeat of last pair
@@ -189,17 +202,63 @@ def main():
                 else:
                     flow = warped[j, :ns] - pair.src
                     flow_gt, overlap = pair.flow_gt, pair.overlap
-                m = compute_flow_metrics(
-                    jnp.array(flow), jnp.array(flow_gt),
-                    overlap=jnp.array(overlap))
-                row = {k2: float(v) for k2, v in m.items()}
+                # metrics are tiny eager ops; on the tunneled TPU backend
+                # every un-jitted op is a remote compile+dispatch (~seconds),
+                # so pin them to the local CPU backend when one exists
+                with jax.default_device(_metric_device()):
+                    m = compute_flow_metrics(
+                        jnp.array(flow), jnp.array(flow_gt),
+                        overlap=jnp.array(overlap))
+                    row = {k2: float(v) for k2, v in m.items()}
                 for k2, v in row.items():
                     meters.setdefault(k2, AverageMeter()).update(v)
                 n_done += 1
+                if args.visualize:
+                    from ..utils.vis import visualize_pcds
+                    w = (moved[j][s_valid[j]] if flow_scope == "subset"
+                         else warped[j, :ns])
+                    visualize_pcds(
+                        os.path.join(snap_dir, f"{split}-{n_done:04d}.png"),
+                        src_pcd=pair.src, tgt_pcd=pair.tgt, warped_pcd=w)
                 ledger_fw.write(json.dumps(dict(row, name=pair.name)) + "\n")
                 ledger_fw.flush()
                 done_fw.write(pair.name + "\n")
                 done_fw.flush()
+
+        def dispatch(batch):
+            nonlocal key
+            b = batch.src.shape[0]
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, b)
+            return run_batch(keys, jnp.array(batch.src), jnp.array(batch.tgt),
+                             jnp.array(batch.src_valid),
+                             jnp.array(batch.tgt_valid))
+
+        t_split = time.perf_counter()
+        if args.stream:
+            # B=1 async pipeline: each pair is its own program (no lockstep
+            # tail — a batched while_loop runs to the slowest pair's
+            # convergence), dispatched ahead so host-side metric/ledger work
+            # overlaps device solves. Measured strictly faster than B>=4
+            # batching on one chip (docs/PERFORMANCE.md round 2).
+            pending: list = []
+            for batch in BucketBatcher(ds, 1, square=args.square_buckets):
+                pending.append((batch, dispatch(batch)))
+                if len(pending) > args.depth:
+                    harvest(*pending.pop(0))
+            while pending:
+                harvest(*pending.pop(0))
+        else:
+            for batch in BucketBatcher(ds, args.batch,
+                                       square=args.square_buckets):
+                timers.tic("registration")
+                out = jax.tree.map(np.asarray, dispatch(batch))
+                timers.toc("registration")
+                harvest(batch, out)
+        dt = time.perf_counter() - t_split
+        if n_done:
+            print(f"[{split}] {n_done} pairs in {dt:.1f}s "
+                  f"= {n_done / dt:.2f} pairs/s")
 
         msg = f"{n_done}/{len(ds)}: " + "\t".join(
             f"{k}: {v.avg:.3f}" for k, v in meters.items())

@@ -32,7 +32,7 @@ from ..models.pyramid import NDPConfig
 from ..solve.registration import SolverConfig, register_pair
 from ..utils.checkpoint import load_pytree
 from ..utils.config import load_config
-from ..utils.logging import AverageMeter, Logger
+from ..utils.logging import AverageMeter, Logger, write_run_provenance
 from ..utils.timers import Timers
 
 
@@ -56,6 +56,7 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
              splits, batch_limit=None, seed=0, log_dir="snapshot/lndp"):
     timers = Timers()
     key = jax.random.key(seed)
+    write_run_provenance(log_dir)
 
     ldmk_jit = jax.jit(lambda p, pyr, sl, tl: landmark_inference(
         p, pyr, sl, tl, lcfg))

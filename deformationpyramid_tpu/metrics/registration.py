@@ -83,7 +83,7 @@ def transformation_error(trans: np.ndarray, info: np.ndarray) -> float:
     t = trans[:3, 3]
     q = _mat2quat(trans[:3, :3])
     er = np.concatenate([t, q[1:]])
-    return float(er.reshape(1, 6) @ info @ er.reshape(6, 1) / info[0, 0])
+    return float(er @ info @ er / info[0, 0])
 
 
 def registration_recall(pred_transforms: list[np.ndarray],

@@ -45,3 +45,40 @@ class Logger:
 
     def close(self):
         self.fw.close()
+
+
+def write_run_provenance(snap_dir: str, config_path: str | None = None):
+    """Record what produced a snapshot dir.
+
+    The reference copies its entire source tree into the experiment dir
+    (``eval_nolearned.py:44-47``, ``correspondence/main.py:54-61``); here the
+    repo is versioned, so a ``provenance.json`` with the git revision, the
+    exact command line, and a copy of the config file carries the same
+    reproducibility information without the wholesale ``cp -r``.
+    """
+    import json
+    import shutil
+    import subprocess
+    import sys
+    import time
+
+    info = {"argv": sys.argv, "time": time.strftime("%Y-%m-%d %H:%M:%S")}
+    try:
+        info["git_rev"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            timeout=5, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        info["git_rev"] = "unknown"
+    try:
+        import jax
+        info["jax"] = jax.__version__
+        info["backend"] = jax.default_backend()
+    except Exception:
+        pass
+    os.makedirs(snap_dir, exist_ok=True)
+    with open(os.path.join(snap_dir, "provenance.json"), "w") as f:
+        json.dump(info, f, indent=1)
+    if config_path and os.path.isfile(config_path):
+        shutil.copy(config_path, os.path.join(
+            snap_dir, os.path.basename(config_path)))

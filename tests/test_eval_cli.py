@@ -56,7 +56,7 @@ def test_dataset_reader_and_batcher(tmp_path):
 
 
 @pytest.mark.parametrize("config,extra", [
-    ("config/NDP.yaml", []),
+    ("config/NDP.yaml", ["--visualize"]),
     ("config/baselines/Sinkhorn.yaml", []),
 ])
 def test_eval_cli_runs(tmp_path, config, extra):
@@ -81,15 +81,22 @@ def test_eval_cli_runs(tmp_path, config, extra):
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
         "import sys; sys.argv = ['x','--config', %r, '--splits','4DMatch-F',"
-        "'--batch','2'];"
+        "'--batch','2'] + %r;"
         "from deformationpyramid_tpu.cli.eval_nolearned import main; main()"
-        % str(small)
+        % (str(small), extra)
     )
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, cwd=str(tmp_path), timeout=900, env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "score on 4DMatch-F" in out.stdout
     assert "full-epe" in out.stdout
+    import glob
+    assert glob.glob(str(tmp_path / "snapshot" / "**" / "provenance.json"),
+                     recursive=True)
+    if "--visualize" in extra:
+        pngs = glob.glob(str(tmp_path / "snapshot" / "**" / "*.png"),
+                         recursive=True)
+        assert len(pngs) == 2, pngs
 
 
 def test_write_4dmatch_suite_gt_convention(tmp_path):
