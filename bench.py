@@ -35,11 +35,15 @@ from deformationpyramid_tpu.solve.registration import SolverConfig, register_bat
 
 BASELINE_PAIRS_PER_SEC = 1.0 / 1.5  # reference sequential loop, single GPU
 
+import os
+
 CFG = SolverConfig(
     pyramid=NDPConfig(m=9, k0=-8, depth=3, width=128,
                       rotation_format="axis_angle", motion="SE3"),
     iters=500, lr=0.01, max_break_count=15, break_threshold_ratio=0.001,
     samples=2000,
+    use_fused=bool(int(os.environ.get("BENCH_FUSED_WARP", "0"))) or None,
+    use_fused_chamfer=bool(int(os.environ.get("BENCH_FUSED_CD", "0"))) or None,
 )
 
 

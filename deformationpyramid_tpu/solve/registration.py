@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..models.pyramid import NDPConfig, init_pyramid_params, level_warp, warp
 from .loop import LoopConfig, run_adam_loop
 from ..ops.chamfer import truncated_chamfer
+from ..ops.chamfer_fused import chamfer_l1_fused
 from ..ops.fused_level import fused_level_warp, supports_fused
 
 Array = jax.Array
@@ -54,6 +55,7 @@ class SolverConfig:
     loss_eps: float = 1e-4
     use_pallas: bool | None = None
     use_fused: bool | None = None  # fused level-warp kernels (None = auto)
+    use_fused_chamfer: bool | None = None  # one-kernel chamfer loss (None = auto)
 
 
 def _bce_zeros(p: Array, valid: Array | None = None) -> Array:
@@ -83,6 +85,18 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
     # every [N, 3] tensor pads to 128 lanes inside the kernel. Kept for
     # experimentation and as the base of the fully-fused iteration kernel.
     fused = bool(cfg.use_fused) and supports_fused(pcfg) and cfg.w_reg == 0
+    fused_cd = bool(cfg.use_fused_chamfer)
+
+    def chamfer(wx, wv):
+        """Truncated chamfer vs the fixed target sample; the fused kernel
+        folds loss + scatter-gradient into one sweep (grad wrt wx only —
+        t_sample is constant here, reference registration.py:205-216)."""
+        if fused_cd:
+            return chamfer_l1_fused(wx, t_sample, x_valid=wv, y_valid=t_valid,
+                                    trunc=1e9 if n_ldmk == 0 else cfg.trunc_cd)
+        return truncated_chamfer(wx, t_sample, x_valid=wv, y_valid=t_valid,
+                                 trunc=1e9 if n_ldmk == 0 else cfg.trunc_cd,
+                                 use_pallas=cfg.use_pallas)
 
     def loss_fn(p):
         if fused:
@@ -95,14 +109,10 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
             loss = jnp.sum(jnp.where(ldmk_valid, sq, 0.0)) / jnp.maximum(
                 jnp.sum(ldmk_valid), 1)
             if cfg.w_cd > 0:
-                loss = loss + cfg.w_cd * truncated_chamfer(
-                    warped[n_ldmk:], t_sample,
-                    x_valid=pts_valid[n_ldmk:], y_valid=t_valid,
-                    trunc=cfg.trunc_cd, use_pallas=cfg.use_pallas)
+                loss = loss + cfg.w_cd * chamfer(warped[n_ldmk:],
+                                                 pts_valid[n_ldmk:])
         else:
-            loss = truncated_chamfer(warped, t_sample,
-                                     x_valid=pts_valid, y_valid=t_valid,
-                                     trunc=1e9, use_pallas=cfg.use_pallas)
+            loss = chamfer(warped, pts_valid)
         if cfg.w_reg > 0:
             reg = _bce_zeros(nr, pts_valid)
             loss = loss + jnp.where(lvl > 0, cfg.w_reg * reg, 0.0)

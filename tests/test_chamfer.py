@@ -189,3 +189,55 @@ def test_chamfer_near_zero_floor_precision():
     x2 = x + 1e-4 * jnp.array(rng.normal(size=(2000, 3)), jnp.float32)
     c = float(truncated_chamfer(x, x2))
     assert c < 1e-3, c
+
+
+def test_fused_chamfer_matches_reference_path():
+    """chamfer_l1_fused (one-kernel loss + in-sweep scatter gradient) must
+    match truncated_chamfer's value and query-point gradient exactly (both
+    are f32; only distance-rounding differs)."""
+    from deformationpyramid_tpu.ops.chamfer_fused import chamfer_l1_fused
+
+    rng = np.random.default_rng(3)
+    for n, m, trunc in [(200, 300, 1e9), (513, 1025, 1e9), (300, 200, 0.05)]:
+        x = jnp.array(rng.normal(size=(n, 3)), jnp.float32) * 0.5
+        y = jnp.array(rng.normal(size=(m, 3)), jnp.float32) * 0.5
+        xv = jnp.array(rng.random(n) > 0.1)
+        yv = jnp.array(rng.random(m) > 0.1)
+        ref = truncated_chamfer(x, y, x_valid=xv, y_valid=yv, trunc=trunc,
+                                use_pallas=False)
+        fus = chamfer_l1_fused(x, y, x_valid=xv, y_valid=yv, trunc=trunc,
+                               interpret=True)
+        assert np.isclose(float(ref), float(fus), atol=1e-6), (n, m, trunc)
+        gref = jax.grad(lambda q: truncated_chamfer(
+            q, y, x_valid=xv, y_valid=yv, trunc=trunc, use_pallas=False))(x)
+        gfus = jax.grad(lambda q: chamfer_l1_fused(
+            q, y, x_valid=xv, y_valid=yv, trunc=trunc, interpret=True))(x)
+        assert float(jnp.abs(gref - gfus).max()) < 1e-5, (n, m, trunc)
+
+
+def test_fused_chamfer_solver_equivalence():
+    """register_pair trajectories with/without the fused chamfer loss agree
+    (identical early-stop iteration counts, loss within f32 drift)."""
+    from deformationpyramid_tpu.data.synthetic import make_pair
+    from deformationpyramid_tpu.models.pyramid import NDPConfig
+    from deformationpyramid_tpu.solve.registration import (
+        SolverConfig, register_pair)
+
+    src, tgt, _ = make_pair(n=400, seed=0, deform=0.12)
+    base = dict(pyramid=NDPConfig(m=4, k0=-6, depth=2, width=48), iters=40,
+                lr=0.01, max_break_count=15, break_threshold_ratio=0.001,
+                samples=256)
+    outs = []
+    for fc in (False, True):
+        cfg = SolverConfig(**base, use_fused_chamfer=fc)
+        w, st = jax.jit(lambda k, s, t: register_pair(k, s, t, cfg))(
+            jax.random.key(0), jnp.array(src), jnp.array(tgt))
+        outs.append((np.asarray(w), np.asarray(st["loss"]),
+                     np.asarray(st["iters"])))
+    assert (outs[0][2] == outs[1][2]).all(), (outs[0][2], outs[1][2])
+    # losses drift by compounded f32 rounding (x2+y2-2xy sweep vs |x-y|^2
+    # gather recompute) through 40 chaotic Adam steps; equivalence is
+    # metric-level, mirroring the reference-parity tolerance philosophy
+    assert np.allclose(outs[0][1], outs[1][1], atol=5e-3), (outs[0][1],
+                                                            outs[1][1])
+    assert np.abs(outs[0][0] - outs[1][0]).max() < 2e-2
