@@ -93,6 +93,11 @@ def _metric_device():
         return jax.devices()[0]
 
 
+@jax.jit
+def _metrics_jit(flow, flow_gt, overlap, valid):
+    return compute_flow_metrics(flow, flow_gt, overlap=overlap, valid=valid)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -190,25 +195,34 @@ def main():
                 if ds_idx in seen:  # padding repeat of last pair
                     continue
                 seen.add(ds_idx)
-                pair = ds[ds_idx]
-                ns = len(pair.src)
-                if flow_scope == "subset":
-                    # Sinkhorn evaluates on the moved sample subset
-                    # (eval_nolearned.py:105-108)
-                    sel = s_idx[j][s_valid[j]]
-                    flow = moved[j][s_valid[j]] - pair.src[sel]
-                    flow_gt = pair.flow_gt[sel]
-                    overlap = pair.overlap[sel]
-                else:
-                    flow = warped[j, :ns] - pair.src
-                    flow_gt, overlap = pair.flow_gt, pair.overlap
-                # metrics are tiny eager ops; on the tunneled TPU backend
-                # every un-jitted op is a remote compile+dispatch (~seconds),
-                # so pin them to the local CPU backend when one exists
+                # everything metric-side lives in the collated batch — no
+                # npz re-read per pair (the dataset reload was ~1/3 of the
+                # host time in the first full-suite sweep)
+                ns = int(batch.src_valid[j].sum())
+                p_src = batch.src[j, :ns]
+                p_flow_gt = batch.flow_gt[j, :ns]
+                p_overlap = batch.overlap[j, :ns]
+                name = batch.names[j] if batch.names else str(ds_idx)
+                # Metrics run jitted on the local CPU at the PADDED bucket
+                # shape with a valid mask — per-pair true shapes would
+                # trigger ~30 tiny eager compiles per distinct point count
+                # (hundreds per sweep); bucket shapes compile ~5x total.
                 with jax.default_device(_metric_device()):
-                    m = compute_flow_metrics(
-                        jnp.array(flow), jnp.array(flow_gt),
-                        overlap=jnp.array(overlap))
+                    if flow_scope == "subset":
+                        # Sinkhorn evaluates on the moved sample subset
+                        # (eval_nolearned.py:105-108); sel is data-dependent
+                        # so this path keeps true shapes
+                        sel = s_idx[j][s_valid[j]]
+                        m = compute_flow_metrics(
+                            jnp.array(moved[j][s_valid[j]] - p_src[sel]),
+                            jnp.array(p_flow_gt[sel]),
+                            overlap=jnp.array(p_overlap[sel]))
+                    else:
+                        m = _metrics_jit(
+                            jnp.array(warped[j] - batch.src[j]),
+                            jnp.array(batch.flow_gt[j]),
+                            jnp.array(batch.overlap[j]),
+                            jnp.array(batch.src_valid[j]))
                     row = {k2: float(v) for k2, v in m.items()}
                 for k2, v in row.items():
                     meters.setdefault(k2, AverageMeter()).update(v)
@@ -217,12 +231,13 @@ def main():
                     from ..utils.vis import visualize_pcds
                     w = (moved[j][s_valid[j]] if flow_scope == "subset"
                          else warped[j, :ns])
+                    nt = int(batch.tgt_valid[j].sum())
                     visualize_pcds(
                         os.path.join(snap_dir, f"{split}-{n_done:04d}.png"),
-                        src_pcd=pair.src, tgt_pcd=pair.tgt, warped_pcd=w)
-                ledger_fw.write(json.dumps(dict(row, name=pair.name)) + "\n")
+                        src_pcd=p_src, tgt_pcd=batch.tgt[j, :nt], warped_pcd=w)
+                ledger_fw.write(json.dumps(dict(row, name=name)) + "\n")
                 ledger_fw.flush()
-                done_fw.write(pair.name + "\n")
+                done_fw.write(name + "\n")
                 done_fw.flush()
 
         def dispatch(batch):

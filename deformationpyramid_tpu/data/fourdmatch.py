@@ -148,6 +148,7 @@ class Batch:
     flow_gt: np.ndarray    # [B, N, 3]
     overlap: np.ndarray    # [B, N]
     indices: list[int]     # dataset indices of the pairs
+    names: list[str] = dataclasses.field(default_factory=list)  # pair names
 
 
 class BucketBatcher:
@@ -195,6 +196,7 @@ class BucketBatcher:
         fg = np.zeros((b, n, 3), np.float32)
         ov = np.zeros((b, n), bool)
         idx = []
+        names = []
         for j, (i, p) in enumerate(items):
             ns, nt = len(p.src), len(p.tgt)
             src[j, :ns] = p.src
@@ -204,5 +206,6 @@ class BucketBatcher:
             fg[j, :ns] = p.flow_gt
             ov[j, :ns] = p.overlap
             idx.append(i)
+            names.append(p.name)
         return Batch(src=src, tgt=tgt, src_valid=sv, tgt_valid=tv,
-                     flow_gt=fg, overlap=ov, indices=idx)
+                     flow_gt=fg, overlap=ov, indices=idx, names=names)
