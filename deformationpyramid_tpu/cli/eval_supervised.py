@@ -34,10 +34,28 @@ from ..utils.checkpoint import load_pytree
 from ..utils.config import load_config
 from ..utils.logging import AverageMeter, Logger, write_run_provenance
 from ..utils.timers import Timers
+from .eval_nolearned import _metric_device
 
 
 def _round_up(x, m=256):
     return ((x + m - 1) // m) * m
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    """Quarter-octave bucket: <=25% padding, ~4 shapes per size octave.
+
+    Shape diversity is the whole cost model here — every distinct padded
+    shape tuple compiles the 37M-param matcher (~70 s) and the solver
+    (~25 s) once; plain round-to-256 made nearly every pair a fresh shape
+    (measured: 12 pairs took 24 min, ~95% compiles)."""
+    import math
+
+    if n <= minimum:
+        return minimum
+    k = int(math.floor(math.log2(n / minimum)))
+    base = minimum << k
+    step = base // 4
+    return min(base * 2, base + step * int(math.ceil((n - base) / step)))
 
 
 def interp_flow(query_pts: np.ndarray, pair) -> np.ndarray:
@@ -60,8 +78,9 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
 
     ldmk_jit = jax.jit(lambda p, pyr, sl, tl: landmark_inference(
         p, pyr, sl, tl, lcfg))
-    reg_jit = jax.jit(lambda k, s, t, ls, lt, lv: register_pair(
-        k, s, t, scfg, src_ldmk=ls, tgt_ldmk=lt, ldmk_valid=lv))
+    reg_jit = jax.jit(lambda k, s, t, sv, tv, ls, lt, lv: register_pair(
+        k, s, t, scfg, src_valid=sv, tgt_valid=tv,
+        src_ldmk=ls, tgt_ldmk=lt, ldmk_valid=lv))
 
     for split in splits:
         ds = FourDMatchDataset(cfg.data_root, split)
@@ -78,16 +97,29 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
         limits = calibrate_neighborhood_limits(sample_pairs, lcfg.matcher.kpfcn,
                                                KPFCN_ARCHITECTURE)
 
-        pad_cache: dict = {}
-        for i in range(len(ds)):
+        def collate_one(i):
             pair = ds[i]
-            timers.tic("collate")
             pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
                                      KPFCN_ARCHITECTURE, limits)
             # bucket pad sizes to limit recompiles
-            pad = tuple(_round_up(len(p)) for p in pyr.points)
+            pad = tuple(_bucket(len(p)) for p in pyr.points)
             pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
-                                     KPFCN_ARCHITECTURE, limits, pad_to=list(pad))
+                                     KPFCN_ARCHITECTURE, limits,
+                                     pad_to=list(pad))
+            return pair, pyr
+
+        # one-pair lookahead: the numpy/C++ collate of pair i+1 overlaps the
+        # device's matcher+solver on pair i (the two are comparable cost —
+        # ~0.36 s collate vs ~0.32 s matcher at 8k points)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(1)
+        fut = pool.submit(collate_one, 0) if len(ds) else None
+        for i in range(len(ds)):
+            timers.tic("collate")
+            pair, pyr = fut.result()
+            if i + 1 < len(ds):
+                fut = pool.submit(collate_one, i + 1)
             timers.toc("collate")
 
             pyrd = {"points": [jnp.array(p) for p in pyr.points],
@@ -104,38 +136,60 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
 
             key, sub = jax.random.split(key)
             timers.tic("registration")
-            warped, stats = reg_jit(sub, jnp.array(pair.src),
-                                    jnp.array(pair.tgt), data["ldmk_s"],
-                                    data["ldmk_t"], data["ldmk_valid"])
-            warped = np.asarray(warped)
+            # bucket-pad the solver inputs too: register_pair compiles per
+            # (n_src, n_tgt) shape (~25 s each), so raw per-pair shapes mean
+            # a fresh solver compile for nearly every pair
+            ns, nt = len(pair.src), len(pair.tgt)
+            nb, mb = _bucket(ns, 1024), _bucket(nt, 1024)
+            src_p = np.zeros((nb, 3), np.float32)
+            src_p[:ns] = pair.src
+            tgt_p = np.zeros((mb, 3), np.float32)
+            tgt_p[:nt] = pair.tgt
+            sv = np.zeros(nb, bool)
+            sv[:ns] = True
+            tv = np.zeros(mb, bool)
+            tv[:nt] = True
+            warped, stats = reg_jit(sub, jnp.array(src_p), jnp.array(tgt_p),
+                                    jnp.array(sv), jnp.array(tv),
+                                    data["ldmk_s"], data["ldmk_t"],
+                                    data["ldmk_valid"])
+            warped = np.asarray(warped)[:ns]
             timers.toc("registration")
 
-            flow = warped - pair.src
-            m = compute_flow_metrics(jnp.array(flow), jnp.array(pair.flow_gt),
-                                     overlap=jnp.array(pair.overlap))
-            m["n_landmarks"] = float(data["ldmk_valid"].sum())
-
-            # matcher-side metrics: IR @0.04m on the landmark pairs; NRFMR
-            # over the metric-index sample (4DLoMatch) or all overlap points
+            # metric math on the local CPU backend: eager jnp ops on the
+            # tunneled TPU are remote dispatches (seconds each)
             from ..metrics.matching import inlier_ratio, nrfmr
 
-            ldmk_s = data["ldmk_s"]
-            ldmk_flow_gt = interp_flow(np.asarray(ldmk_s), pair)
-            m["IR"] = float(inlier_ratio(
-                ldmk_s, data["ldmk_t"], data["ldmk_valid"],
-                jnp.array(pair.rot), jnp.array(pair.trans),
-                jnp.array(ldmk_flow_gt)))
-            if pair.metric_index is not None and len(pair.metric_index):
-                mi = pair.metric_index
-            else:
-                mi = np.nonzero(pair.overlap)[0][:1000]
-            if len(mi):
-                m["NRFMR"] = float(nrfmr(
-                    ldmk_s, data["ldmk_t"], data["ldmk_valid"],
-                    jnp.array(pair.src[mi]), jnp.array(pair.flow_gt[mi])))
+            ldmk_s = np.asarray(data["ldmk_s"])
+            ldmk_t = np.asarray(data["ldmk_t"])
+            ldmk_valid = np.asarray(data["ldmk_valid"])
+            ldmk_flow_gt = interp_flow(ldmk_s, pair)
+            with jax.default_device(_metric_device()):
+                flow = warped - pair.src
+                m = compute_flow_metrics(jnp.array(flow),
+                                         jnp.array(pair.flow_gt),
+                                         overlap=jnp.array(pair.overlap))
+                m["n_landmarks"] = float(ldmk_valid.sum())
+                # matcher-side metrics: IR @0.04m on the landmark pairs;
+                # NRFMR over the metric-index sample (4DLoMatch) or overlap
+                m["IR"] = float(inlier_ratio(
+                    jnp.array(ldmk_s), jnp.array(ldmk_t),
+                    jnp.array(ldmk_valid),
+                    jnp.array(pair.rot), jnp.array(pair.trans),
+                    jnp.array(ldmk_flow_gt)))
+                if pair.metric_index is not None and len(pair.metric_index):
+                    mi = pair.metric_index
+                else:
+                    mi = np.nonzero(pair.overlap)[0][:1000]
+                if len(mi):
+                    m["NRFMR"] = float(nrfmr(
+                        jnp.array(ldmk_s), jnp.array(ldmk_t),
+                        jnp.array(ldmk_valid),
+                        jnp.array(pair.src[mi]), jnp.array(pair.flow_gt[mi])))
             for k2, v in m.items():
                 meters.setdefault(k2, AverageMeter()).update(float(v))
 
+        pool.shutdown(wait=False)
         msg = f"{len(ds)} pairs: " + "\t".join(
             f"{k}: {v.avg:.3f}" for k, v in meters.items())
         logger.write(msg + "\n")

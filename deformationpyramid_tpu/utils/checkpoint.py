@@ -70,3 +70,29 @@ def load_meta(path: str) -> dict:
         if "__meta__" in z.files:
             return json.loads(str(z["__meta__"]))
     return {}
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend — production checkpointing (async, sharding-aware)
+# ---------------------------------------------------------------------------
+# The npz format above is the dependency-light default; orbax adds the
+# properties a multi-host deployment needs (SURVEY.md §5 checkpoint row):
+# per-shard writes for sharded arrays (no host gather), atomic finalize, and
+# a retention-managed step directory for long training runs.
+
+def save_pytree_orbax(path: str, tree: Any) -> None:
+    """Write ``tree`` as an orbax checkpoint directory at ``path``."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def load_pytree_orbax(path: str, like: Any) -> Any:
+    """Restore an orbax checkpoint into the structure/shapes of ``like``."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, like)

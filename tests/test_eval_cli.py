@@ -57,6 +57,7 @@ def test_dataset_reader_and_batcher(tmp_path):
 
 @pytest.mark.parametrize("config,extra", [
     ("config/NDP.yaml", ["--visualize"]),
+    ("config/NDP.yaml", ["--stream", "--depth", "2"]),
     ("config/baselines/Sinkhorn.yaml", []),
 ])
 def test_eval_cli_runs(tmp_path, config, extra):

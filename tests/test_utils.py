@@ -86,3 +86,23 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend (production multi-host checkpointing, SURVEY §5)
+    round-trips a param tree into the structure of a zeros-like template."""
+    import jax
+    import jax.numpy as jnp
+
+    from deformationpyramid_tpu.utils.checkpoint import (
+        load_pytree_orbax, save_pytree_orbax)
+
+    tree = {"a": jnp.arange(6.0).reshape(2, 3),
+            "b": {"w": jnp.full((4,), 2.0), "n": jnp.int32(7)}}
+    p = str(tmp_path / "ck")
+    save_pytree_orbax(p, tree)
+    like = jax.tree.map(jnp.zeros_like, tree)
+    out = load_pytree_orbax(p, like)
+    assert np.allclose(out["a"], tree["a"])
+    assert np.allclose(out["b"]["w"], 2.0)
+    assert int(out["b"]["n"]) == 7
