@@ -76,8 +76,13 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
     key = jax.random.key(seed)
     write_run_provenance(log_dir)
 
-    ldmk_jit = jax.jit(lambda p, pyr, sl, tl: landmark_inference(
-        p, pyr, sl, tl, lcfg))
+    # static per-cloud coarse caps (bucketed) halve each side of the [S, T]
+    # transformer/matching/procrustes objects vs padding both to the full
+    # stacked coarse size; one compile per (s_cap, t_cap) bucket pair
+    ldmk_jit = jax.jit(
+        lambda p, pyr, sl, tl, s_cap, t_cap: landmark_inference(
+            p, pyr, sl, tl, lcfg, s_cap=s_cap, t_cap=t_cap),
+        static_argnums=(4, 5))
     reg_jit = jax.jit(lambda k, s, t, sv, tv, ls, lt, lv: register_pair(
         k, s, t, scfg, src_valid=sv, tgt_valid=tv,
         src_ldmk=ls, tgt_ldmk=lt, ldmk_valid=lv))
@@ -130,8 +135,10 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
                     "features": jnp.array(pyr.features)}
             cl = lcfg.matcher.coarse_level
             timers.tic("landmark")
+            s_cap = _bucket(int(pyr.src_lengths[cl]))
+            t_cap = _bucket(int(pyr.tgt_lengths[cl]))
             data = ldmk_jit(params, pyrd, jnp.int32(pyr.src_lengths[cl]),
-                            jnp.int32(pyr.tgt_lengths[cl]))
+                            jnp.int32(pyr.tgt_lengths[cl]), s_cap, t_cap)
             timers.toc("landmark", block_on=data["ldmk_s"])
 
             key, sub = jax.random.split(key)

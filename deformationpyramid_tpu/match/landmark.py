@@ -36,11 +36,20 @@ def init_landmark_model(key: Array, cfg: LandmarkConfig) -> dict:
 
 
 def landmark_inference(params: dict, pyramid: dict, src_len_coarse: Array,
-                       tgt_len_coarse: Array, cfg: LandmarkConfig) -> dict[str, Any]:
+                       tgt_len_coarse: Array, cfg: LandmarkConfig,
+                       s_cap: int | None = None,
+                       t_cap: int | None = None) -> dict[str, Any]:
     """Returns dict with ldmk_s/ldmk_t [K, 3], ldmk_valid [K], plus the
-    matcher data for diagnostics."""
+    matcher data for diagnostics.
+
+    ``s_cap``/``t_cap`` are static per-cloud coarse caps: without them both
+    clouds pad to the FULL stacked coarse size, quadrupling the
+    transformer/matching/procrustes work (the [S, T] objects are the
+    matcher's cost).
+    """
     data = apply_matcher(params["matcher"], pyramid, src_len_coarse,
-                         tgt_len_coarse, cfg.matcher)
+                         tgt_len_coarse, cfg.matcher,
+                         s_cap=s_cap, t_cap=t_cap)
     confidence = apply_neco(params["neco"], data["vec_6d"],
                             data["vec_6d_mask"], cfg.neco)
     keep = data["vec_6d_mask"]

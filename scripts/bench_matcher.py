@@ -61,10 +61,26 @@ def main():
     tl = jnp.int32(pyr.tgt_lengths[cl])
     params = init_landmark_model(jax.random.key(0), lcfg)
 
+    # static per-cloud coarse caps (see cli/eval_supervised.py): without
+    # them both clouds pad to the full stacked coarse size and every
+    # [S, T] object (transformer attention, conf matrix, procrustes top-k)
+    # is ~4x oversized
+    def bucket(n, minimum=256):
+        import math
+        if n <= minimum:
+            return minimum
+        k = int(math.floor(math.log2(n / minimum)))
+        base = minimum << k
+        step = base // 4
+        return min(base * 2, base + step * int(math.ceil((n - base) / step)))
+
+    s_cap = bucket(int(pyr.src_lengths[cl]))
+    t_cap = bucket(int(pyr.tgt_lengths[cl]))
+
     match_jit = jax.jit(lambda p, pyr, sl, tl: apply_matcher(
-        p, pyr, sl, tl, lcfg.matcher))
+        p, pyr, sl, tl, lcfg.matcher, s_cap=s_cap, t_cap=t_cap))
     ldmk_jit = jax.jit(lambda p, pyr, sl, tl: landmark_inference(
-        p, pyr, sl, tl, lcfg))
+        p, pyr, sl, tl, lcfg, s_cap=s_cap, t_cap=t_cap))
 
     for name, fn, arg in (("matcher", match_jit, params["matcher"]),
                           ("landmark(matcher+NeCo)", ldmk_jit, params)):
@@ -78,7 +94,28 @@ def main():
         np.asarray(jax.tree.leaves(out)[0])
         dt = (time.perf_counter() - t0) / REPEATS
         print(f"{name}: {dt * 1e3:.2f} ms/pair ({1.0 / dt:.2f} pairs/s) "
-              f"[compile {t_compile:.1f}s] backend={jax.default_backend()}")
+              f"[compile {t_compile:.1f}s] backend={jax.default_backend()} "
+              f"caps=({s_cap},{t_cap})")
+
+    # steady-state device time: fori loop with the carry fed into the
+    # INPUT features so XLA cannot hoist the loop-invariant forward
+    # (per-dispatch numbers above include the tunnel's per-call overhead)
+    @jax.jit
+    def steady(p, pyr, sl, tl):
+        def body(i, c):
+            pyr2 = dict(pyr)
+            pyr2["features"] = pyr["features"] + c * 1e-30
+            out = apply_matcher(p, pyr2, sl, tl, lcfg.matcher,
+                                s_cap=s_cap, t_cap=t_cap)
+            return c + 1e-9 * out["R_s2t_pred"][0, 0]
+        return jax.lax.fori_loop(0, REPEATS, body, jnp.float32(0))
+
+    np.asarray(steady(params["matcher"], pyrd, sl, tl))
+    t0 = time.perf_counter()
+    np.asarray(steady(params["matcher"], pyrd, sl, tl))
+    dt = (time.perf_counter() - t0) / REPEATS
+    print(f"matcher steady-state (on-chip): {dt * 1e3:.2f} ms/pair "
+          f"({1.0 / dt:.2f} pairs/s)")
 
 
 if __name__ == "__main__":
