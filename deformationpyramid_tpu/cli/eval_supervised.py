@@ -135,8 +135,16 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
                     "features": jnp.array(pyr.features)}
             cl = lcfg.matcher.coarse_level
             timers.tic("landmark")
-            s_cap = _bucket(int(pyr.src_lengths[cl]))
-            t_cap = _bucket(int(pyr.tgt_lengths[cl]))
+            # symmetric power-of-two cap: still ~2x less [S, T] work than
+            # padding to the full stacked size, but only O(log) distinct
+            # compiled signatures per sweep (each new matcher signature
+            # costs a ~70 s compile; quarter-octave per-side caps made
+            # nearly every pair a fresh signature on small sweeps)
+            cap = 512
+            while cap < max(int(pyr.src_lengths[cl]),
+                            int(pyr.tgt_lengths[cl])):
+                cap *= 2
+            s_cap = t_cap = cap
             data = ldmk_jit(params, pyrd, jnp.int32(pyr.src_lengths[cl]),
                             jnp.int32(pyr.tgt_lengths[cl]), s_cap, t_cap)
             timers.toc("landmark", block_on=data["ldmk_s"])

@@ -96,13 +96,20 @@ def valid_gradient(grads: Any) -> Array:
     return ok
 
 
-def make_neco_loss_fn(matcher_params: dict, lcfg: LandmarkConfig):
-    """Matcher-frozen NeCo loss for one pair (``lib/trainer.py:117-139``)."""
+def make_neco_loss_fn(matcher_params: dict, lcfg: LandmarkConfig,
+                      s_cap: int | None = None, t_cap: int | None = None):
+    """Matcher-frozen NeCo loss for one pair (``lib/trainer.py:117-139``).
+
+    ``s_cap``/``t_cap``: static per-cloud coarse caps (see
+    ``match.pipeline.apply_matcher``) — without them the frozen matcher
+    forward pads both clouds to the full stacked coarse size (~4x work).
+    """
 
     def loss_fn(neco_params, pyramid, src_len_c, tgt_len_c, coarse_flow,
                 gt_rot, gt_trn):
         data = apply_matcher(jax.lax.stop_gradient(matcher_params), pyramid,
-                             src_len_c, tgt_len_c, lcfg.matcher)
+                             src_len_c, tgt_len_c, lcfg.matcher,
+                             s_cap=s_cap, t_cap=t_cap)
         conf = apply_neco(neco_params, data["vec_6d"], data["vec_6d_mask"],
                           lcfg.neco)
         loss, info = neco_loss(conf, data["vec_6d"], data["vec_6d_mask"],
@@ -114,9 +121,11 @@ def make_neco_loss_fn(matcher_params: dict, lcfg: LandmarkConfig):
 
 
 def make_neco_train_step(matcher_params: dict, lcfg: LandmarkConfig,
-                         opt: optax.GradientTransformation):
+                         opt: optax.GradientTransformation,
+                         s_cap: int | None = None, t_cap: int | None = None):
     """Build the jitted (loss, grads, update) step for one pair."""
-    loss_fn = make_neco_loss_fn(matcher_params, lcfg)
+    loss_fn = make_neco_loss_fn(matcher_params, lcfg, s_cap=s_cap,
+                                t_cap=t_cap)
 
     @jax.jit
     def step(neco_params, opt_state, pyramid, src_len_c, tgt_len_c,
