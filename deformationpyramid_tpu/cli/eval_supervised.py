@@ -16,6 +16,7 @@ vendored in this tree; see match/port_torch.py to import torch weights).
 from __future__ import annotations
 
 import argparse
+import time
 import os
 
 import numpy as np
@@ -71,7 +72,8 @@ def interp_flow(query_pts: np.ndarray, pair) -> np.ndarray:
 
 
 def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
-             splits, batch_limit=None, seed=0, log_dir="snapshot/lndp"):
+             splits, batch_limit=None, seed=0, log_dir="snapshot/lndp",
+             stream_depth: int = 4):
     timers = Timers()
     key = jax.random.key(seed)
     write_run_provenance(log_dir)
@@ -106,11 +108,21 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             pair = ds[i]
             pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
                                      KPFCN_ARCHITECTURE, limits)
-            # bucket pad sizes to limit recompiles
-            pad = tuple(_bucket(len(p)) for p in pyr.points)
+            # POWER-OF-TWO pad per level: each distinct padded shape tuple
+            # costs a fresh ~70-100 s matcher compile, which dominates any
+            # sweep under ~1000 pairs; doubling buckets collapse a
+            # 1.5k-30k-point suite to ~5 signatures (quarter-octave
+            # made nearly every pair unique: 12 pairs = 15 min of compiles
+            # vs <1 s/pair of capped matcher compute)
+            def pow2(n, minimum=512):
+                b = minimum
+                while b < n:
+                    b *= 2
+                return b
+
+            pad = [pow2(len(p)) for p in pyr.points]
             pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
-                                     KPFCN_ARCHITECTURE, limits,
-                                     pad_to=list(pad))
+                                     KPFCN_ARCHITECTURE, limits, pad_to=pad)
             return pair, pyr
 
         # one-pair lookahead: the numpy/C++ collate of pair i+1 overlaps the
@@ -118,15 +130,10 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
         # ~0.36 s collate vs ~0.32 s matcher at 8k points)
         from concurrent.futures import ThreadPoolExecutor
 
-        pool = ThreadPoolExecutor(1)
-        fut = pool.submit(collate_one, 0) if len(ds) else None
-        for i in range(len(ds)):
-            timers.tic("collate")
-            pair, pyr = fut.result()
-            if i + 1 < len(ds):
-                fut = pool.submit(collate_one, i + 1)
-            timers.toc("collate")
-
+        def dispatch(pair, pyr):
+            """Enqueue matcher + landmark-guided solve for one pair;
+            returns device futures (no host sync)."""
+            nonlocal key
             pyrd = {"points": [jnp.array(p) for p in pyr.points],
                     "valids": [jnp.array(v) for v in pyr.valids],
                     "neighbors": [jnp.array(x) for x in pyr.neighbors],
@@ -134,7 +141,6 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
                     "upsamples": [jnp.array(x) for x in pyr.upsamples],
                     "features": jnp.array(pyr.features)}
             cl = lcfg.matcher.coarse_level
-            timers.tic("landmark")
             # symmetric power-of-two cap: still ~2x less [S, T] work than
             # padding to the full stacked size, but only O(log) distinct
             # compiled signatures per sweep (each new matcher signature
@@ -144,18 +150,21 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             while cap < max(int(pyr.src_lengths[cl]),
                             int(pyr.tgt_lengths[cl])):
                 cap *= 2
-            s_cap = t_cap = cap
             data = ldmk_jit(params, pyrd, jnp.int32(pyr.src_lengths[cl]),
-                            jnp.int32(pyr.tgt_lengths[cl]), s_cap, t_cap)
-            timers.toc("landmark", block_on=data["ldmk_s"])
-
+                            jnp.int32(pyr.tgt_lengths[cl]), cap, cap)
             key, sub = jax.random.split(key)
-            timers.tic("registration")
             # bucket-pad the solver inputs too: register_pair compiles per
             # (n_src, n_tgt) shape (~25 s each), so raw per-pair shapes mean
             # a fresh solver compile for nearly every pair
             ns, nt = len(pair.src), len(pair.tgt)
-            nb, mb = _bucket(ns, 1024), _bucket(nt, 1024)
+            # power-of-two here too: the solver recompiles per (n_src,
+            # n_tgt) shape (~25 s) and its per-iteration cost is nearly
+            # size-independent (chamfer runs on the fixed 2000-sample set)
+            nb = mb = 1024
+            while nb < ns:
+                nb *= 2
+            while mb < nt:
+                mb *= 2
             src_p = np.zeros((nb, 3), np.float32)
             src_p[:ns] = pair.src
             tgt_p = np.zeros((mb, 3), np.float32)
@@ -164,13 +173,15 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             sv[:ns] = True
             tv = np.zeros(mb, bool)
             tv[:nt] = True
-            warped, stats = reg_jit(sub, jnp.array(src_p), jnp.array(tgt_p),
-                                    jnp.array(sv), jnp.array(tv),
-                                    data["ldmk_s"], data["ldmk_t"],
-                                    data["ldmk_valid"])
-            warped = np.asarray(warped)[:ns]
-            timers.toc("registration")
+            warped, _stats = reg_jit(sub, jnp.array(src_p), jnp.array(tgt_p),
+                                     jnp.array(sv), jnp.array(tv),
+                                     data["ldmk_s"], data["ldmk_t"],
+                                     data["ldmk_valid"])
+            return pair, data, warped, ns
 
+        def harvest(item):
+            pair, data, warped_dev, ns = item
+            warped = np.asarray(warped_dev)[:ns]
             # metric math on the local CPU backend: eager jnp ops on the
             # tunneled TPU are remote dispatches (seconds each)
             from ..metrics.matching import inlier_ratio, nrfmr
@@ -204,6 +215,31 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             for k2, v in m.items():
                 meters.setdefault(k2, AverageMeter()).update(float(v))
 
+        # pipelined sweep: collate runs one pair ahead in a worker thread,
+        # matcher+solver dispatches run ``stream_depth`` pairs ahead of the
+        # host-side harvest (metrics + ledger) — no sync between the
+        # matcher and the solver of a pair, none between pairs
+        pool = ThreadPoolExecutor(1)
+        fut = pool.submit(collate_one, 0) if len(ds) else None
+        pending: list = []
+        t_split = time.perf_counter()
+        for i in range(len(ds)):
+            timers.tic("collate")
+            pair, pyr = fut.result()
+            if i + 1 < len(ds):
+                fut = pool.submit(collate_one, i + 1)
+            timers.toc("collate")
+            timers.tic("dispatch")
+            pending.append(dispatch(pair, pyr))
+            timers.toc("dispatch")
+            if len(pending) > stream_depth:
+                harvest(pending.pop(0))
+        while pending:
+            harvest(pending.pop(0))
+        dt = time.perf_counter() - t_split
+        if len(ds):
+            print(f"[{split}] {len(ds)} pairs in {dt:.1f}s "
+                  f"= {len(ds) / dt:.2f} pairs/s")
         pool.shutdown(wait=False)
         msg = f"{len(ds)} pairs: " + "\t".join(
             f"{k}: {v.avg:.3f}" for k, v in meters.items())
@@ -222,6 +258,8 @@ def main():
                     help="npz checkpoint of the landmark model")
     ap.add_argument("--splits", nargs="*", default=["4DMatch-F", "4DLoMatch-F"])
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--depth", type=int, default=4,
+                    help="in-flight dispatch window (0 = synchronous)")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -251,7 +289,8 @@ def main():
         print("[warn] no --weights: running with random landmark-model "
               "weights (pipeline validation only)")
 
-    run_eval(cfg, lcfg, params, scfg, args.splits, args.limit)
+    run_eval(cfg, lcfg, params, scfg, args.splits, args.limit,
+             stream_depth=args.depth)
 
 
 if __name__ == "__main__":
