@@ -1,4 +1,5 @@
 """Multi-device sharding tests on the 8-device virtual CPU mesh (§4e)."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,3 +90,48 @@ def test_initialize_distributed_wires_coordinator(monkeypatch):
     monkeypatch.setenv("JAX_PROCESS_ID", "2")
     assert M.initialize_distributed() is True
     assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
+
+
+def test_two_process_dcn_allgather(tmp_path):
+    """REAL multi-host runtime smoke (SURVEY.md §2.4 mesh/runtime row): two
+    processes rendezvous at a localhost coordinator through
+    ``initialize_distributed`` (env-var path, as a pod runtime would) and
+    run a cross-process ``process_allgather`` — the communication pattern
+    of the sharded eval sweep."""
+    import socket
+    import subprocess
+    import sys
+
+    child = tmp_path / "dcn_child.py"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child.write_text(f"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from deformationpyramid_tpu.parallel.mesh import initialize_distributed
+assert initialize_distributed(), "expected multi-process init"
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+assert jax.process_count() == 2
+g = multihost_utils.process_allgather(jnp.float32(1 + jax.process_index()))
+assert sorted(np.asarray(g).ravel().tolist()) == [1.0, 2.0], g
+print("DCN_OK", jax.process_index())
+""")
+    with socket.socket() as s:  # pick a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("PYTEST_CURRENT_TEST", None)
+        env.update(JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(child)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, err[-2000:]
+        assert "DCN_OK" in out, (out, err[-500:])
