@@ -23,6 +23,11 @@ class AttentionConfig:
     feature_dim: int = 528
     n_head: int = 4
     pe_type: str = "rotary"
+    # 'bfloat16' runs every matmul with bf16 operands and f32 accumulation
+    # (preferred_element_type) — the full-throughput MXU path; softmax,
+    # masking, layer norms, and residuals stay f32. Inference-only knob;
+    # default f32 preserves bit-level reference parity.
+    compute_dtype: str = "float32"
 
 
 def _xavier(key, shape):
@@ -64,13 +69,20 @@ def apply_attention_layer(p: dict, x: Array, source: Array,
     ``compatibility`` [L, S] multiplies raw attention logits (NeCo).
     """
     h, dim = cfg.n_head, cfg.feature_dim // cfg.n_head
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def mm(a, b):
+        """Matmul with compute-dtype operands, f32 accumulation."""
+        return jnp.matmul(a.astype(cdt), b.astype(cdt),
+                          preferred_element_type=jnp.float32)
+
     q_in, k_in, v_in = x, source, source
     if cfg.pe_type == "sinusoidal" and x_pe is not None:
         q_in = q_in + x_pe
         k_in = k_in + source_pe
-    qw = q_in @ p["q"]
-    kw = k_in @ p["k"]
-    vw = v_in @ p["v"]
+    qw = mm(q_in, p["q"])
+    kw = mm(k_in, p["k"])
+    vw = mm(v_in, p["v"])
     if cfg.pe_type == "rotary" and x_pe is not None:
         qw = embed_rotary(qw, x_pe[..., 0], x_pe[..., 1])
         kw = embed_rotary(kw, source_pe[..., 0], source_pe[..., 1])
@@ -80,7 +92,8 @@ def apply_attention_layer(p: dict, x: Array, source: Array,
     kw = kw.reshape(S, h, dim)
     vw = vw.reshape(S, h, dim)
 
-    a = jnp.einsum("lhd,shd->lsh", qw, kw)
+    a = jnp.einsum("lhd,shd->lsh", qw.astype(cdt), kw.astype(cdt),
+                   preferred_element_type=jnp.float32)
     if compatibility is not None:
         a = a * compatibility[..., None]
     if source_mask is not None:
@@ -89,10 +102,11 @@ def apply_attention_layer(p: dict, x: Array, source: Array,
         a = jnp.where(drop[..., None], -jnp.inf, a)
     a = a / jnp.sqrt(dim)
     a = jax.nn.softmax(a, axis=1)
-    o = jnp.einsum("lsh,shd->lhd", a, vw).reshape(L, h * dim)
+    o = jnp.einsum("lsh,shd->lhd", a.astype(cdt), vw.astype(cdt),
+                   preferred_element_type=jnp.float32).reshape(L, h * dim)
 
-    message = _layer_norm(o @ p["merge"], p["ln1"])
+    message = _layer_norm(mm(o, p["merge"]), p["ln1"])
     message = jnp.concatenate([x, message], axis=-1)
-    message = jax.nn.relu(message @ p["mlp1"]) @ p["mlp2"]
+    message = mm(jax.nn.relu(mm(message, p["mlp1"])), p["mlp2"])
     message = _layer_norm(message, p["ln2"])
     return x + message

@@ -39,6 +39,7 @@ def matcher_config_from_yaml(cfg: AttrDict, max_matches: int = 256) -> MatcherCo
         fine_feature_dim=k.get("fine_feature_dim", 264),
         coarse_level=k.get("coarse_level", -2),
     )
+    inference_dtype = cfg.get("inference_dtype", "float32")
     m = cfg.coarse_matching
     matching = MatchingConfig(
         feature_dim=m.get("feature_dim", 528),
@@ -48,6 +49,7 @@ def matcher_config_from_yaml(cfg: AttrDict, max_matches: int = 256) -> MatcherCo
         skh_init_bin_score=m.get("skh_init_bin_score", 1.0),
         skh_iters=m.get("skh_iters", 3),
         max_matches=max_matches,
+        compute_dtype=inference_dtype,
     )
     t = cfg.coarse_transformer
     vol_bnds = t.get("vol_bnds", [[-3.6, -2.4, 1.14], [1.093, 0.78, 2.92]])
@@ -66,7 +68,8 @@ def matcher_config_from_yaml(cfg: AttrDict, max_matches: int = 256) -> MatcherCo
                                 ["self", "cross", "positioning", "self", "cross"])),
         positioning_type=t.get("positioning_type", "procrustes"),
         pe_type=t.get("pe_type", "rotary"),
-        vol=vol, matching=matching, procrustes=procrustes)
+        vol=vol, matching=matching, procrustes=procrustes,
+        compute_dtype=inference_dtype)
     n_levels = 4  # kpfcn_backbone architecture
     coarse_level = kpfcn.coarse_level
     return MatcherConfig(kpfcn=kpfcn, transformer=transformer,

@@ -28,6 +28,7 @@ class MatchingConfig:
     skh_init_bin_score: float = 1.0
     skh_iters: int = 3
     max_matches: int = 256             # static cap for extracted matches
+    compute_dtype: str = "float32"     # 'bfloat16' = MXU-speed inference
 
 
 def init_matching(key: Array, cfg: MatchingConfig) -> dict:
@@ -72,8 +73,12 @@ def confidence_matrix(p: dict, src_feats: Array, tgt_feats: Array,
     """[S, T] match confidence. NOTE: the reference projects BOTH clouds with
     ``src_proj`` (``matching.py:126-127`` uses self.src_proj twice — tgt_proj
     is dead weight); reproduced here for checkpoint parity."""
-    src = src_feats @ p["src_proj"]
-    tgt = tgt_feats @ p["src_proj"]
+    cdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+           else jnp.float32)
+    src = jnp.matmul(src_feats.astype(cdt), p["src_proj"].astype(cdt),
+                     preferred_element_type=jnp.float32)
+    tgt = jnp.matmul(tgt_feats.astype(cdt), p["src_proj"].astype(cdt),
+                     preferred_element_type=jnp.float32)
     if src_pe is not None:
         src = embed_pos(pe_type, src, src_pe)
         tgt = embed_pos(pe_type, tgt, tgt_pe)
@@ -82,7 +87,9 @@ def confidence_matrix(p: dict, src_feats: Array, tgt_feats: Array,
     tgt = tgt / c ** 0.5
 
     if cfg.match_type == "dual_softmax":
-        sim = jnp.einsum("sc,tc->st", src, tgt) / cfg.dsmax_temperature
+        sim = jnp.einsum("sc,tc->st", src.astype(cdt), tgt.astype(cdt),
+                         preferred_element_type=jnp.float32) \
+            / cfg.dsmax_temperature
         sim1 = jnp.where(src_mask[:, None], sim, _NEG)
         sim2 = jnp.where(tgt_mask[None, :], sim, _NEG)
         conf = jax.nn.softmax(sim1, axis=0) * jax.nn.softmax(sim2, axis=1)

@@ -33,10 +33,12 @@ class TransformerConfig:
     vol: VolPEConfig = dataclasses.field(default_factory=VolPEConfig)
     matching: MatchingConfig = dataclasses.field(default_factory=MatchingConfig)
     procrustes: ProcrustesConfig = dataclasses.field(default_factory=ProcrustesConfig)
+    compute_dtype: str = "float32"  # 'bfloat16' = MXU-speed inference mode
 
     @property
     def attention(self) -> AttentionConfig:
-        return AttentionConfig(self.feature_dim, self.n_head, self.pe_type)
+        return AttentionConfig(self.feature_dim, self.n_head, self.pe_type,
+                               compute_dtype=self.compute_dtype)
 
 
 def init_transformer(key: Array, cfg: TransformerConfig) -> dict:

@@ -315,3 +315,29 @@ def test_transformer_randSO3_positioning_runs():
     _, _, spe2, _, _ = apply_transformer(
         params, sf, tf, sp, tp, sm, tm, cfg, key=jax.random.key(2))
     assert np.abs(np.asarray(spe) - np.asarray(spe2)).max() > 1e-5
+
+
+def test_matcher_bfloat16_inference_mode_close_to_f32():
+    """compute_dtype='bfloat16' (bf16 matmul operands, f32 accumulation)
+    must track the f32 forward: high conf-matrix correlation and a close
+    rigid fit. Default f32 path is untouched (bit-level reference parity)."""
+    import dataclasses
+
+    cfg = small_matcher_cfg()
+    src, tgt, flow, pyr, pyrd = make_pyramid(cfg)
+    params = init_matcher(jax.random.key(0), cfg)
+    sl, tl = jnp.int32(pyr.src_lengths[2]), jnp.int32(pyr.tgt_lengths[2])
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        c = dataclasses.replace(
+            cfg,
+            transformer=dataclasses.replace(cfg.transformer,
+                                            compute_dtype=dt),
+            matching=dataclasses.replace(cfg.matching, compute_dtype=dt))
+        data = apply_matcher(params, pyrd, sl, tl, c)
+        outs[dt] = (np.asarray(data["conf_matrix_pred"]),
+                    np.asarray(data["R_s2t_pred"]))
+    a, b = outs["float32"][0].ravel(), outs["bfloat16"][0].ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr
+    assert np.abs(outs["float32"][1] - outs["bfloat16"][1]).max() < 0.05
