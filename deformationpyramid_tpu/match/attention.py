@@ -28,6 +28,13 @@ class AttentionConfig:
     # masking, layer norms, and residuals stay f32. Inference-only knob;
     # default f32 preserves bit-level reference parity.
     compute_dtype: str = "float32"
+    # 'flash' streams the attention through the Pallas TPU flash-attention
+    # kernel (online softmax): the [L, S, heads] logits tensor — 268 MB of
+    # f32 at 4096-point coarse caps, and the measured HBM bottleneck of
+    # the repositioning transformer — is never materialized. Padding masks
+    # map to flash segment ids (valid-prefix). Falls back to 'xla' when a
+    # compatibility multiplier is present (NeCo) or off-TPU.
+    attention_impl: str = "xla"        # 'xla' | 'flash'
 
 
 def _xavier(key, shape):
@@ -49,6 +56,49 @@ def init_attention_layer(key: Array, cfg: AttentionConfig) -> dict:
         "ln1": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
         "ln2": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
     }
+
+
+def _flash_available() -> bool:
+    try:
+        from jax.experimental.pallas.ops.tpu import flash_attention  # noqa: F401
+
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _flash_attention(qw: Array, kw: Array, vw: Array,
+                     source_mask: Array | None, sm_scale: float) -> Array:
+    """Streamed attention via the Pallas TPU flash kernel (differentiable —
+    the stock op ships a custom VJP).
+
+    qw [L, h, d], kw/vw [S, h, d] -> [L, h, d]. The source padding mask
+    (valid-prefix booleans) becomes flash segment ids: queries carry id 1,
+    invalid source rows id 0, so the kernel never attends padding —
+    matching the XLA path's -inf masking exactly (padded QUERY rows attend
+    normally and produce garbage in both paths; downstream masks them).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+
+    L, h, d = qw.shape
+    S = kw.shape[0]
+    # the stock kernel wants head_dim <= 128 or a multiple of 128;
+    # zero-padding is exact (padded q/k dims contribute 0 to every dot
+    # product; padded v dims emit zeros, sliced away below) and free on
+    # the MXU, whose lanes pad d=132 to 256 either way
+    if d > 128 and d % 128:
+        d_pad = ((d + 127) // 128) * 128
+        pad = [(0, 0), (0, 0), (0, d_pad - d)]
+        qw, kw, vw = (jnp.pad(a, pad) for a in (qw, kw, vw))
+    q = qw.transpose(1, 0, 2)[None]          # [1, h, L, d_pad]
+    k = kw.transpose(1, 0, 2)[None]
+    v = vw.transpose(1, 0, 2)[None]
+    kv_seg = (source_mask.astype(jnp.int32) if source_mask is not None
+              else jnp.ones((S,), jnp.int32))
+    seg = SegmentIds(q=jnp.ones((1, L), jnp.int32), kv=kv_seg[None])
+    o = flash_attention(q, k, v, segment_ids=seg, sm_scale=sm_scale)
+    return o[0].transpose(1, 0, 2)[:, :, :d]  # [L, h, d]
 
 
 def _layer_norm(x: Array, p: dict, eps: float = 1e-5) -> Array:
@@ -91,6 +141,19 @@ def apply_attention_layer(p: dict, x: Array, source: Array,
     qw = qw.reshape(L, h, dim)
     kw = kw.reshape(S, h, dim)
     vw = vw.reshape(S, h, dim)
+
+    use_flash = (cfg.attention_impl == "flash" and compatibility is None
+                 and _flash_available() and L % 128 == 0 and S % 128 == 0)
+    if use_flash:
+        import math
+
+        o = _flash_attention(qw, kw, vw, source_mask,
+                             1.0 / math.sqrt(dim)).reshape(L, h * dim)
+        message = _layer_norm(mm(o, p["merge"]), p["ln1"])
+        message = jnp.concatenate([x, message], axis=-1)
+        message = mm(jax.nn.relu(mm(message, p["mlp1"])), p["mlp2"])
+        message = _layer_norm(message, p["ln2"])
+        return x + message
 
     a = jnp.einsum("lhd,shd->lsh", qw.astype(cdt), kw.astype(cdt),
                    preferred_element_type=jnp.float32)

@@ -69,7 +69,8 @@ def matcher_config_from_yaml(cfg: AttrDict, max_matches: int = 256) -> MatcherCo
         positioning_type=t.get("positioning_type", "procrustes"),
         pe_type=t.get("pe_type", "rotary"),
         vol=vol, matching=matching, procrustes=procrustes,
-        compute_dtype=inference_dtype)
+        compute_dtype=inference_dtype,
+        attention_impl=cfg.get("attention_impl", "xla"))
     n_levels = 4  # kpfcn_backbone architecture
     coarse_level = kpfcn.coarse_level
     return MatcherConfig(kpfcn=kpfcn, transformer=transformer,

@@ -34,11 +34,13 @@ class TransformerConfig:
     matching: MatchingConfig = dataclasses.field(default_factory=MatchingConfig)
     procrustes: ProcrustesConfig = dataclasses.field(default_factory=ProcrustesConfig)
     compute_dtype: str = "float32"  # 'bfloat16' = MXU-speed inference mode
+    attention_impl: str = "xla"     # 'flash' = Pallas streamed attention
 
     @property
     def attention(self) -> AttentionConfig:
         return AttentionConfig(self.feature_dim, self.n_head, self.pe_type,
-                               compute_dtype=self.compute_dtype)
+                               compute_dtype=self.compute_dtype,
+                               attention_impl=self.attention_impl)
 
 
 def init_transformer(key: Array, cfg: TransformerConfig) -> dict:
