@@ -130,6 +130,9 @@ def main(chunk: int = 1, total: int = 32, n_points: int = 2000) -> None:
 if __name__ == "__main__":
     import sys
 
+    from deformationpyramid_tpu.utils.compilation_cache import enable
+    enable()
+
     if "--streaming" in sys.argv:
         main_streaming()
     else:

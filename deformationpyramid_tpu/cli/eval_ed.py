@@ -158,6 +158,8 @@ def make_landmark_fn(cfg, weights: str | None = None):
 
 
 def main():
+    from ..utils.compilation_cache import enable as _enable_cache
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--splits", nargs="*", default=["4DMatch-F", "4DLoMatch-F"])

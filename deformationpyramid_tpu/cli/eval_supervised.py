@@ -252,6 +252,8 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
 
 
 def main():
+    from ..utils.compilation_cache import enable as _enable_cache
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--weights", default=None,

@@ -71,6 +71,8 @@ def register_meshes(src_pts: np.ndarray, tgt_pts: np.ndarray,
 
 
 def main():
+    from ..utils.compilation_cache import enable as _enable_cache
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-s", required=True, help="Path to the src mesh (.ply)")
     ap.add_argument("-t", required=True, help="Path to the tgt mesh (.ply)")

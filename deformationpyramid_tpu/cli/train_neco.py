@@ -87,6 +87,8 @@ def make_batch_stream(ds: FourDMatchDataset, lcfg: LandmarkConfig, limits):
 
 
 def main():
+    from ..utils.compilation_cache import enable as _enable_cache
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--data-root", default=None)
