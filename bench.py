@@ -70,7 +70,12 @@ def main_streaming(total: int = 16, n_slots: int = 4, n_points: int = 2000,
     }))
 
 
-def main(chunk: int = 1, total: int = 32, n_points: int = 2000) -> None:
+def main(chunk: int = 1, total: int = 32, n_points: int = 2000,
+         reps: int = 3) -> None:
+    """Median-of-``reps`` measurement: the tunnel chip is SHARED and
+    identical runs vary up to ~2x wall-clock (docs/PERFORMANCE.md caveat),
+    so a single sample is meaningless round-over-round. The JSON line
+    reports the median; per-rep samples + spread go to stderr."""
     import sys
 
     fn = jax.jit(lambda k, s, t: register_batch(k, s, t, CFG))
@@ -90,20 +95,24 @@ def main(chunk: int = 1, total: int = 32, n_points: int = 2000) -> None:
         chunks.append((jax.random.split(jax.random.key(10 + c), chunk),
                        jnp.array(s2), jnp.array(t2)))
 
-    t0 = time.perf_counter()
-    outs = [fn(k, s, t) for (k, s, t) in chunks]  # async stream
-    for w, _ in outs:
-        np.asarray(w)
-    dt = time.perf_counter() - t0
+    samples = []
+    rep_iters = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn(k, s, t) for (k, s, t) in chunks]  # async stream
+        for w, _ in outs:
+            np.asarray(w)
+        dt = time.perf_counter() - t0
+        samples.append(total / dt)
+        # lockstep iterations actually executed = sum over chunks/levels of
+        # the batch max, since converged pairs wait for the chunk's laggard
+        rep_iters.append(sum(int(np.asarray(st["iters"]).max(axis=0).sum())
+                             for _, st in outs))
 
-    pairs_per_sec = total / dt
-
-    # secondary diagnostics (stderr; stdout stays one JSON line):
-    # lockstep iterations actually executed = sum over chunks/levels of the
-    # batch max, since converged pairs wait for the chunk's laggard
-    total_iters = sum(int(np.asarray(st["iters"]).max(axis=0).sum())
-                      for _, st in outs)
-    ms_per_iter = dt * 1e3 / max(total_iters, 1)
+    pairs_per_sec = float(np.median(samples))
+    total_iters = rep_iters[int(np.argsort(samples)[len(samples) // 2])]
+    dt_med = total / pairs_per_sec
+    ms_per_iter = dt_med * 1e3 / max(total_iters, 1)
     # per-iteration useful FLOPs at B=chunk: MLP fwd+bwd (~3x fwd) +
     # dual-direction chamfer distance tiles
     n_pad = 2048
@@ -117,6 +126,8 @@ def main(chunk: int = 1, total: int = 32, n_points: int = 2000) -> None:
         "lockstep_iters": total_iters,
         "mfu_vs_v5e_peak": round(mfu, 5),
         "chunk": chunk,
+        "samples_pairs_per_sec": [round(s, 3) for s in samples],
+        "spread": round(max(samples) - min(samples), 3),
     }), file=sys.stderr)
 
     print(json.dumps({

@@ -17,16 +17,17 @@ import argparse
 import json
 import os
 import time
+import zlib
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from ..data.fourdmatch import BucketBatcher, FourDMatchDataset
+from ..data.fourdmatch import BucketBatcher, FourDMatchDataset, _bucket_size
 from ..metrics.flow import compute_flow_metrics
-from ..models.pyramid import NDPConfig
-from ..solve.registration import SolverConfig, register_batch
+from ..models.pyramid import NDPConfig, warp
+from ..solve.registration import SolverConfig, optimize_pyramid, register_batch
 from ..solve.baselines import (
     NSFPSolverConfig, NerfiesSolverConfig, SinkhornSolverConfig,
     register_nsfp, register_nerfies, register_sinkhorn,
@@ -85,6 +86,85 @@ def solver_from_config(cfg: AttrDict):
                    "(ED requires the depth/graph eval path)")
 
 
+METRIC_KEYS = ("full-epe", "full-AccS", "full-AccR", "full-outlier",
+               "vis-epe", "vis-AccS", "vis-AccR", "vis-outlier",
+               "occ-epe", "occ-AccS", "occ-AccR", "occ-outlier")
+
+
+def make_fast_ndp(scfg: SolverConfig):
+    """Fixed-shape solver + bucketed warp/metrics programs (the fast path).
+
+    The reference's sweep (``/root/reference/eval_nolearned.py:59-159``)
+    re-runs ``optimize_deformation_pyramid`` per pair; its per-iteration
+    cost is size-independent because the loss runs on the fixed
+    ``config.samples`` subset (``model/registration.py:156-159``). Keying
+    the compiled program on the ORIGINAL cloud size therefore wastes both a
+    multi-minute compile per bucket shape and big-bucket iteration work.
+    Here the sweep pays instead:
+
+    * ONE compiled solver program at the [samples, 3] shape shared by every
+      pair (subsample + mean-centering happen host-side), returning the
+      final pyramid params;
+    * one cheap forward-only warp+metrics program per power-of-two bucket
+      (the final full-cloud warp is a single pass,
+      ``model/registration.py:253-259``), chained on-device off the solver
+      output so only one packed metric vector crosses the tunnel back.
+
+    Transfer protocol: the tunneled device pays a round trip per array, so
+    inputs are PACKED — samples as one [2, samples, 4] block (xyz + valid),
+    the warp/metric input as one [N, 7] block (src_c, flow_gt,
+    overlap/valid code) — and the 12 metric scalars return as ONE [12]
+    vector (fetching them individually cost ~12 RTTs/pair).
+    """
+    pcfg = scfg.pyramid
+    base_key = jax.random.key(0)
+
+    @jax.jit
+    def solve_fixed(seed, st_packed):
+        key = jax.random.fold_in(base_key, seed)
+        s_sample, s_valid = st_packed[0, :, :3], st_packed[0, :, 3] > 0.5
+        t_sample, t_valid = st_packed[1, :, :3], st_packed[1, :, 3] > 0.5
+        return optimize_pyramid(key, s_sample, s_valid, t_sample, t_valid,
+                                scfg)
+
+    @jax.jit
+    def warp_metrics(params, packed, delta_mean):
+        src_c = packed[:, :3]
+        flow_gt = packed[:, 3:6]
+        code = packed[:, 6]            # -1 pad, 0 valid non-overlap, 1 overlap
+        valid = code > -0.5
+        overlap = code > 0.5
+        warped, _ = warp(params, src_c, pcfg)
+        flow = warped - src_c + delta_mean  # == (warped+tgt_mean) - src
+        m = compute_flow_metrics(flow, flow_gt, overlap=overlap, valid=valid)
+        return jnp.stack([m[k] for k in METRIC_KEYS])
+
+    @jax.jit
+    def warp_bucket(params, packed):
+        warped, _ = warp(params, packed[:, :3], pcfg)
+        return warped
+
+    return solve_fixed, warp_metrics, warp_bucket
+
+
+def _prep_sample(pts: np.ndarray, mean: np.ndarray, k: int,
+                 rng: np.random.Generator) -> np.ndarray:
+    """Host-side random ``k``-subset of a centered cloud -> [k, 4] packed
+    block (xyz, valid flag), zero-padded.
+
+    Mirrors the reference's ``randperm[:samples]`` subsample
+    (``model/registration.py:156-159``) at a FIXED output shape so the
+    solver program compiles once for the whole sweep.
+    """
+    n = len(pts)
+    take = min(k, n)
+    out = np.zeros((k, 4), np.float32)
+    idx = rng.permutation(n)[:take]
+    out[:take, :3] = pts[idx] - mean
+    out[:take, 3] = 1.0
+    return out
+
+
 def _metric_device():
     """Local CPU device for per-pair metric math (falls back to default)."""
     try:
@@ -124,7 +204,26 @@ def main():
                     help="save a src/tgt/warped render per pair under the "
                          "snapshot dir (headless PNG; reference "
                          "eval_nolearned.py:31,149 shows a mayavi window)")
+    ap.add_argument("--no-fast", dest="fast", action="store_false",
+                    help="disable the fixed-shape NDP fast path (one "
+                         "compiled solver program + bucketed warp/metrics) "
+                         "and use legacy per-bucket solver programs")
     args = ap.parse_args()
+
+    cfg = load_config(args.config)
+    if cfg.get("deformation_model") == "ED":
+        # The reference drives all five deformation models through one entry
+        # point (``/root/reference/eval_nolearned.py`` ->
+        # ``model/registration.py:106-123`` dispatch); ED needs the
+        # depth/graph path, which lives in eval_ed here — delegate.
+        import sys
+        from . import eval_ed
+        print("[eval_nolearned] ED config -> delegating to cli.eval_ed")
+        argv = ["eval_ed", "--config", args.config, "--splits", *args.splits]
+        if args.limit is not None:
+            argv += ["--limit", str(args.limit)]
+        sys.argv = argv
+        return eval_ed.main()
 
     # multi-host eval sweep over DCN (SURVEY.md §2.4): when a coordinator is
     # configured each process takes a strided shard of the pair list
@@ -132,7 +231,6 @@ def main():
 
     multi_host = initialize_distributed()
 
-    cfg = load_config(args.config)
     snap_dir = os.path.join("snapshot", str(cfg.get("folder", "eval")),
                             str(cfg.get("exp_dir", "run")))
     os.makedirs(snap_dir, exist_ok=True)
@@ -141,6 +239,9 @@ def main():
     scfg, run_batch, flow_scope = solver_from_config(cfg)
     timers = Timers()
     key = jax.random.key(args.seed)
+    use_fast = args.fast and cfg.get("deformation_model", "NDP") == "NDP"
+    if use_fast:
+        solve_fixed, warp_metrics, warp_bucket = make_fast_ndp(scfg)
 
     for split in args.splits:
         ds = FourDMatchDataset(cfg.data_root, split)
@@ -151,6 +252,7 @@ def main():
             ds.entries = ds.entries[: args.limit]
         if multi_host:
             ds.entries = ds.entries[jax.process_index()::jax.process_count()]
+        n_total = len(ds)  # before resume filtering, for honest "done/total"
         logger = Logger(os.path.join(
             snap_dir,
             split + (f".p{jax.process_index()}" if multi_host else "") + ".log"))
@@ -251,8 +353,93 @@ def main():
                              jnp.array(batch.src_valid),
                              jnp.array(batch.tgt_valid))
 
+        def harvest_fast(item):
+            """Sync one pair's packed metric vector and fold into meters."""
+            nonlocal n_done
+            name, out, vis = item
+            vals = np.asarray(out)  # ONE device->host fetch for all metrics
+            row = dict(zip(METRIC_KEYS, (float(v) for v in vals)))
+            for k2, v in row.items():
+                meters.setdefault(k2, AverageMeter()).update(v)
+            n_done += 1
+            if vis is not None:
+                from ..utils.vis import visualize_pcds
+                pair, warped_c, ns, tgt_mean = vis
+                visualize_pcds(
+                    os.path.join(snap_dir, f"{split}-{n_done:04d}.png"),
+                    src_pcd=pair.src, tgt_pcd=pair.tgt,
+                    warped_pcd=np.asarray(warped_c)[:ns] + tgt_mean)
+            ledger_fw.write(json.dumps(dict(row, name=name)) + "\n")
+            ledger_fw.flush()
+            done_fw.write(name + "\n")
+            done_fw.flush()
+
         t_split = time.perf_counter()
-        if args.stream:
+        if use_fast:
+            # Fixed-shape fast path: one compiled solver program for every
+            # pair + a cheap bucketed warp/metrics program chained on-device,
+            # dispatched async with a bounded in-flight window so host prep
+            # overlaps device solves. Only one packed metric vector crosses
+            # back per pair. The npz read + numpy packing AND the
+            # host->device transfers run a few pairs ahead in worker
+            # threads — the tunneled device pays a round trip per transfer,
+            # and those waits release the GIL, so a small prefetch window
+            # pipelines them behind the device compute.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def prep(i):
+                pair = ds[i]
+                # stable per-pair seed: CRC of the file name, so a resumed
+                # sweep (entries list filtered) samples identically
+                pid = zlib.crc32(os.path.basename(pair.name).encode())
+                rng = np.random.default_rng([args.seed, pid])
+                ns = len(pair.src)
+                src_mean = pair.src.mean(0)
+                tgt_mean = pair.tgt.mean(0)
+                st_packed = np.stack([
+                    _prep_sample(pair.src, src_mean, scfg.samples, rng),
+                    _prep_sample(pair.tgt, tgt_mean, scfg.samples, rng)])
+                nb = _bucket_size(ns)
+                packed = np.full((nb, 7), -1.0, np.float32)
+                packed[:, :6] = 0.0
+                packed[:ns, :3] = pair.src - src_mean
+                packed[:ns, 3:6] = pair.flow_gt
+                packed[:ns, 6] = pair.overlap.astype(np.float32)
+                return (pair, pid, jnp.array(st_packed), jnp.array(packed),
+                        ns, jnp.array(tgt_mean - src_mean))
+
+            look_ahead = max(2, min(args.depth // 2, 8))
+            pool = ThreadPoolExecutor(2)
+            n_entries = len(ds.entries)
+            futs = [pool.submit(prep, i)
+                    for i in range(min(look_ahead, n_entries))]
+            pending: list = []
+            for i in range(n_entries):
+                timers.tic("dispatch")
+                pair, pid, st_packed, packed, ns, delta_mean = \
+                    futs.pop(0).result()
+                if i + look_ahead < n_entries:
+                    futs.append(pool.submit(prep, i + look_ahead))
+                # args.seed folds into pid so --seed changes solver RNG too
+                params, _stats = solve_fixed(
+                    np.int32((pid + args.seed) & 0x7FFFFFFF), st_packed)
+                out = warp_metrics(params, packed, delta_mean)
+                vis = None
+                if args.visualize:
+                    vis = (pair, warp_bucket(params, packed), ns,
+                           pair.tgt.mean(0))
+                timers.toc("dispatch")
+                pending.append((pair.name, out, vis))
+                if len(pending) > args.depth:
+                    timers.tic("harvest")
+                    harvest_fast(pending.pop(0))
+                    timers.toc("harvest")
+            while pending:
+                timers.tic("harvest")
+                harvest_fast(pending.pop(0))
+                timers.toc("harvest")
+            pool.shutdown(wait=False)
+        elif args.stream:
             # B=1 async pipeline: each pair is its own program (no lockstep
             # tail — a batched while_loop runs to the slowest pair's
             # convergence), dispatched ahead so host-side metric/ledger work
@@ -260,11 +447,17 @@ def main():
             # batching on one chip (docs/PERFORMANCE.md round 2).
             pending: list = []
             for batch in BucketBatcher(ds, 1, square=args.square_buckets):
+                timers.tic("dispatch")
                 pending.append((batch, dispatch(batch)))
+                timers.toc("dispatch")
                 if len(pending) > args.depth:
+                    timers.tic("harvest")
                     harvest(*pending.pop(0))
+                    timers.toc("harvest")
             while pending:
+                timers.tic("harvest")
                 harvest(*pending.pop(0))
+                timers.toc("harvest")
         else:
             for batch in BucketBatcher(ds, args.batch,
                                        square=args.square_buckets):
@@ -277,7 +470,7 @@ def main():
             print(f"[{split}] {n_done} pairs in {dt:.1f}s "
                   f"= {n_done / dt:.2f} pairs/s")
 
-        msg = f"{n_done}/{len(ds)}: " + "\t".join(
+        msg = f"{n_done}/{n_total}: " + "\t".join(
             f"{k}: {v.avg:.3f}" for k, v in meters.items())
         logger.write(msg + "\n")
         print("score on", split, "\n", msg)

@@ -38,25 +38,11 @@ from ..utils.timers import Timers
 from .eval_nolearned import _metric_device
 
 
-def _round_up(x, m=256):
-    return ((x + m - 1) // m) * m
-
-
-def _bucket(n: int, minimum: int = 256) -> int:
-    """Quarter-octave bucket: <=25% padding, ~4 shapes per size octave.
-
-    Shape diversity is the whole cost model here — every distinct padded
-    shape tuple compiles the 37M-param matcher (~70 s) and the solver
-    (~25 s) once; plain round-to-256 made nearly every pair a fresh shape
-    (measured: 12 pairs took 24 min, ~95% compiles)."""
-    import math
-
-    if n <= minimum:
-        return minimum
-    k = int(math.floor(math.log2(n / minimum)))
-    base = minimum << k
-    step = base // 4
-    return min(base * 2, base + step * int(math.ceil((n - base) / step)))
+# NOTE on shape buckets: shape diversity is the whole cost model here —
+# every distinct padded shape tuple compiles the 37M-param matcher (~70 s)
+# and the solver (~25 s) once. The sweep buckets to POWERS OF TWO inside
+# ``collate_one`` (finer quarter-octave buckets made nearly every pair a
+# unique compile: 12 pairs took 24 min, ~95% compiles).
 
 
 def interp_flow(query_pts: np.ndarray, pair) -> np.ndarray:
@@ -73,7 +59,9 @@ def interp_flow(query_pts: np.ndarray, pair) -> np.ndarray:
 
 def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
              splits, batch_limit=None, seed=0, log_dir="snapshot/lndp",
-             stream_depth: int = 4):
+             stream_depth: int = 4, resume: bool = False):
+    import json
+
     timers = Timers()
     key = jax.random.key(seed)
     write_run_provenance(log_dir)
@@ -96,8 +84,35 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             continue
         if batch_limit is not None:
             ds.entries = ds.entries[:batch_limit]
+        n_total = len(ds)
         logger = Logger(os.path.join(log_dir, split + ".log"))
         meters: dict[str, AverageMeter] = {}
+        n_done = 0
+
+        # lossless eval-sweep resume, same .done + .pairs.jsonl ledger
+        # protocol as eval_nolearned (reference equivalent: per-split
+        # snapshot logs, eval_supervised.py:66) — finished pairs are
+        # skipped AND their metric contributions recovered into the meters
+        done_path = os.path.join(log_dir, split + ".done")
+        ledger_path = os.path.join(log_dir, split + ".pairs.jsonl")
+        if resume and os.path.exists(done_path):
+            with open(done_path) as f:
+                finished = set(f.read().split())
+            before = len(ds.entries)
+            ds.entries = [e for e in ds.entries if e not in finished]
+            print(f"[resume] {before - len(ds.entries)} pairs already done")
+            if os.path.exists(ledger_path):
+                recovered = set()
+                for line in open(ledger_path):
+                    row = json.loads(line)
+                    name = row.pop("name", None)
+                    if name in finished and name not in recovered:
+                        recovered.add(name)
+                        for k2, v in row.items():
+                            meters.setdefault(k2, AverageMeter()).update(v)
+                n_done = len(recovered)
+        done_fw = open(done_path, "a")
+        ledger_fw = open(ledger_path, "a")
 
         # calibrate neighborhood limits on a few pairs (dataloader.py:609)
         sample_pairs = [(ds[i].src, ds[i].tgt) for i in range(min(3, len(ds)))]
@@ -212,8 +227,15 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
                         jnp.array(ldmk_s), jnp.array(ldmk_t),
                         jnp.array(ldmk_valid),
                         jnp.array(pair.src[mi]), jnp.array(pair.flow_gt[mi])))
-            for k2, v in m.items():
-                meters.setdefault(k2, AverageMeter()).update(float(v))
+            nonlocal n_done
+            row = {k2: float(v) for k2, v in m.items()}
+            for k2, v in row.items():
+                meters.setdefault(k2, AverageMeter()).update(v)
+            n_done += 1
+            ledger_fw.write(json.dumps(dict(row, name=pair.name)) + "\n")
+            ledger_fw.flush()
+            done_fw.write(pair.name + "\n")
+            done_fw.flush()
 
         # pipelined sweep: collate runs one pair ahead in a worker thread,
         # matcher+solver dispatches run ``stream_depth`` pairs ahead of the
@@ -241,7 +263,7 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             print(f"[{split}] {len(ds)} pairs in {dt:.1f}s "
                   f"= {len(ds) / dt:.2f} pairs/s")
         pool.shutdown(wait=False)
-        msg = f"{len(ds)} pairs: " + "\t".join(
+        msg = f"{n_done}/{n_total} pairs: " + "\t".join(
             f"{k}: {v.avg:.3f}" for k, v in meters.items())
         logger.write(msg + "\n")
         print("score on", split, "\n", msg)
@@ -262,6 +284,9 @@ def main():
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--depth", type=int, default=4,
                     help="in-flight dispatch window (0 = synchronous)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip pairs already recorded in the split's .done "
+                         "ledger and recover their metric contributions")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -292,7 +317,7 @@ def main():
               "weights (pipeline validation only)")
 
     run_eval(cfg, lcfg, params, scfg, args.splits, args.limit,
-             stream_depth=args.depth)
+             stream_depth=args.depth, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -95,11 +95,23 @@ def main():
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--matcher-weights", default=None)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--save-landmark", default=None,
+                    help="after training, save the combined "
+                         "{matcher, neco} landmark-model checkpoint here "
+                         "(loadable via eval_supervised --weights)")
     args = ap.parse_args()
+
+    import os
 
     cfg = load_config(args.config)
     data_root = args.data_root or cfg.get("data_root")
-    lcfg = LandmarkConfig()
+    ldmk_yaml = cfg.get("ldmk_config")
+    if ldmk_yaml and os.path.exists(ldmk_yaml):
+        from ..match.config_loader import landmark_config_from_yaml
+
+        lcfg = landmark_config_from_yaml(ldmk_yaml)
+    else:
+        lcfg = LandmarkConfig()
     ds = FourDMatchDataset(data_root, "train", augment=True)
     if args.limit:
         ds.entries = ds.entries[:args.limit]
@@ -130,9 +142,16 @@ def main():
             vds.entries = vds.entries[:args.limit]
         if len(vds):
             val_stream = make_batch_stream(vds, lcfg, limits)
-    train_neco(params["matcher"], params["neco"], lcfg, tcfg,
-               make_batch_stream(ds, lcfg, limits), steps_per_epoch=len(ds),
-               val_batches=val_stream)
+    neco_params = train_neco(
+        params["matcher"], params["neco"], lcfg, tcfg,
+        make_batch_stream(ds, lcfg, limits), steps_per_epoch=len(ds),
+        val_batches=val_stream)
+    if args.save_landmark:
+        from ..utils.checkpoint import save_pytree
+
+        save_pytree(args.save_landmark,
+                    {"matcher": params["matcher"], "neco": neco_params})
+        print(f"saved combined landmark checkpoint to {args.save_landmark}")
 
 
 if __name__ == "__main__":

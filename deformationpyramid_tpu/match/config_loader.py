@@ -60,7 +60,13 @@ def matcher_config_from_yaml(cfg: AttrDict, max_matches: int = 256) -> MatcherCo
     proc = t.get("procrustes", AttrDict())
     procrustes = ProcrustesConfig(
         sample_rate=proc.get("sample_rate", 1.0),
-        max_condition_num=proc.get("max_condition_num", 40.0))
+        max_condition_num=proc.get("max_condition_num", 40.0),
+        # strict-parity runs opt back into the reference's exact torch.topk
+        # ordering via yaml: `topk_method: exact` (docs/PARITY.md)
+        topk_method=cfg.get("topk_method", proc.get("topk_method", "approx")),
+        approx_recall_target=cfg.get(
+            "approx_recall_target",
+            proc.get("approx_recall_target", 0.95)))
     transformer = TransformerConfig(
         feature_dim=t.get("feature_dim", 528),
         n_head=t.get("n_head", 4),

@@ -26,19 +26,30 @@ def inlier_ratio(ldmk_s: Array, ldmk_t: Array, valid: Array,
 
 def nrfmr(ldmk_s: Array, ldmk_t: Array, ldmk_valid: Array,
           metric_pts: Array, metric_flow_gt: Array,
-          knn: int = 3, recall_thr: float = 0.04) -> Array:
+          knn: int = 3, recall_thr: float = 0.04,
+          search_radius: float = 0.1) -> Array:
     """Non-rigid feature matching recall over metric points.
 
     ldmk_s/ldmk_t [K, 3] padded matched landmarks; metric_pts [M, 3] GT
     sample points on the source; metric_flow_gt [M, 3] their GT flow.
     Predicted flow at each metric point = IDW blend of the k nearest
-    landmarks' flows (``lib/tester.py:35-95`` blend_anchor_motion).
+    landmarks' flows (``lib/tester.py:12-33`` blend_anchor_motion), with the
+    reference's ``search_radius`` gating: anchors farther than the radius
+    get their (euclidean) distance pushed to 1e10 BEFORE inverse-distance
+    weighting, so a far landmark contributes ~0 weight — unless ALL k
+    anchors are out of radius, in which case the weights degenerate to
+    uniform 1/k (that quirk is load-bearing: ``compute_nrfmr`` ignores the
+    returned valid_mask, ``lib/tester.py:66-95``, so out-of-range points
+    still count in the recall denominator with the uniform blend).
     """
     ldmk_flow = ldmk_t - ldmk_s
     d2 = jnp.sum((metric_pts[:, None] - ldmk_s[None]) ** 2, axis=-1)
     d2 = jnp.where(ldmk_valid[None, :], d2, 1e9)
     neg_d2, idx = jax.lax.top_k(-d2, knn)
-    dist = jnp.sqrt(jnp.maximum(-neg_d2, 1e-10))
+    # clamp-then-gate, matching blend_anchor_motion's order
+    # (dists<1e-10 -> 1e-10; dists>search_radius -> 1e10)
+    dist = jnp.maximum(jnp.sqrt(jnp.maximum(-neg_d2, 0.0)), 1e-10)
+    dist = jnp.where(dist > search_radius, 1e10, dist)
     w = 1.0 / dist
     w = w / jnp.sum(w, axis=1, keepdims=True)
     flow_pred = jnp.sum(ldmk_flow[idx] * w[..., None], axis=1)

@@ -246,8 +246,11 @@ def chamfer_l1_fused(w: Array, y: Array,
                      interpret: bool | None = None) -> Array:
     """Truncated chamfer L1 loss; gradient flows to ``w`` ONLY.
 
-    Same value as ``ops.chamfer.truncated_chamfer`` (modulo f32 rounding —
-    the sweep's x2+y2-2xy distances vs the gather path's |x-y|^2 recompute);
+    Same value as ``ops.chamfer.truncated_chamfer`` (modulo f32 rounding:
+    the sweep deliberately computes exact sum-of-squared-difference
+    distances — the x2+y2-2xy form's cancellation error is the same order
+    as converged distances, see the kernel's distance comment — so the
+    residual drift comes only from reduction ordering);
     one kernel forward, elementwise backward. ``y`` is constant, matching
     the solver's use where the target sample is never optimized
     (``solve/registration.py:103``; reference ``registration.py:205-216``).

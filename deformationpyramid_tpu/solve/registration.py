@@ -53,9 +53,11 @@ class SolverConfig:
     w_cd: float = 0.0        # chamfer weight in landmark mode
     trunc_cd: float = 0.25   # chamfer truncation in landmark mode (squared)
     loss_eps: float = 1e-4
-    use_pallas: bool | None = None
-    use_fused: bool | None = None  # fused level-warp kernels (None = auto)
-    use_fused_chamfer: bool | None = None  # one-kernel chamfer loss (None = auto)
+    use_pallas: bool | None = None  # None = auto-detect TPU backend
+    # Measured-neutral/negative fusion experiments, kept strictly OPT-IN
+    # (docs/PERFORMANCE.md round-2 findings 0b and 2): None/False = off.
+    use_fused: bool | None = None  # fused level-warp kernels (opt-in)
+    use_fused_chamfer: bool | None = None  # one-kernel chamfer loss (opt-in)
 
 
 def _bce_zeros(p: Array, valid: Array | None = None) -> Array:
@@ -150,6 +152,37 @@ def _random_subset_idx(key: Array, pts: Array, valid: Array, k: int):
     return pts[idx], valid[idx], idx
 
 
+def optimize_pyramid(k_init: Array, pts0: Array, pts_valid: Array,
+                     t_sample: Array, t_valid: Array, cfg: SolverConfig,
+                     n_ldmk: int = 0, tgt_ldmk: Array | None = None,
+                     ldmk_valid: Array | None = None,
+                     ) -> tuple[dict, dict[str, Array]]:
+    """Level-by-level Adam on pre-centered, pre-sampled points.
+
+    This is the fixed-shape core of the registration: inputs are the
+    ``samples``-sized source/target subsets (already mean-centered), so one
+    compiled program serves EVERY pair in a sweep regardless of original
+    cloud size. The full-cloud warp (one forward pass, not 4500 iterations)
+    is applied separately at bucketed shapes — see
+    ``cli/eval_nolearned.py``. Returns (final stacked level params, stats).
+
+    Reference: the level loop of ``optimize_deformation_pyramid``
+    (``/root/reference/model/registration.py:166-249``).
+    """
+    params = init_pyramid_params(k_init, cfg.pyramid)
+
+    def level_step(pts, inp):
+        lvl_p, lvl = inp
+        new_p, warped, stats = _solve_level(
+            lvl_p, lvl, pts, pts_valid, t_sample, t_valid,
+            n_ldmk, tgt_ldmk, ldmk_valid, cfg)
+        return warped, (new_p, stats)
+
+    levels = jnp.arange(cfg.pyramid.m)
+    _, (final_params, stats) = jax.lax.scan(level_step, pts0, (params, levels))
+    return final_params, stats
+
+
 def register_pair(key: Array, src: Array, tgt: Array, cfg: SolverConfig,
                   src_valid: Array | None = None, tgt_valid: Array | None = None,
                   src_ldmk: Array | None = None, tgt_ldmk: Array | None = None,
@@ -169,7 +202,6 @@ def register_pair(key: Array, src: Array, tgt: Array, cfg: SolverConfig,
         tgt_valid = jnp.ones((n_tgt,), bool)
 
     k_init, k_src, k_tgt = jax.random.split(key, 3)
-    params = init_pyramid_params(k_init, pcfg)
 
     # Cancel global translation (masked means over real points).
     src_mean = (jnp.sum(jnp.where(src_valid[:, None], src, 0.0), axis=0)
@@ -201,15 +233,9 @@ def register_pair(key: Array, src: Array, tgt: Array, cfg: SolverConfig,
         pts0, pts_valid = s_sample, s_valid
         tgt_ldmk_c = None
 
-    def level_step(pts, inp):
-        lvl_p, lvl = inp
-        new_p, warped, stats = _solve_level(
-            lvl_p, lvl, pts, pts_valid, t_sample, t_valid,
-            n_ldmk, tgt_ldmk_c, ldmk_valid, cfg)
-        return warped, (new_p, stats)
-
-    levels = jnp.arange(pcfg.m)
-    _, (final_params, stats) = jax.lax.scan(level_step, pts0, (params, levels))
+    final_params, stats = optimize_pyramid(
+        k_init, pts0, pts_valid, t_sample, t_valid, cfg,
+        n_ldmk=n_ldmk, tgt_ldmk=tgt_ldmk_c, ldmk_valid=ldmk_valid)
 
     warped_full, _ = warp(final_params, src_c, pcfg)
     warped_full = warped_full + tgt_mean

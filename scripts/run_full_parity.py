@@ -33,6 +33,12 @@ FULL = dict(m=9, k0=-8, depth=3, width=128, iters=500, lr=0.01,
             samples=2000, max_break_count=15, break_threshold_ratio=0.001)
 
 
+def _ref_torch_seed(pair: int, sidx: int) -> int:
+    """Torch seed for ref cell (pair, seed-index). sidx=0 keeps the
+    round-2 ledger cells valid (they used seed=pair)."""
+    return pair if sidx == 0 else 1000 + 100 * sidx + pair
+
+
 def load_rows():
     rows = []
     if os.path.exists(LEDGER):
@@ -47,6 +53,14 @@ def append(row):
 
 
 def summarize(rows):
+    """Symmetric (2 seeds/pair each side) PAIRED statistics.
+
+    Round-2 weakness #3: per-run EPE noise is ~10x the mean gap, so an
+    unpaired grand-mean comparison has no power. The honest estimator is
+    the per-pair difference d_p = mean_s ours(p,s) - mean_s ref(p,s)
+    (pairing removes the dominant across-pair variance), reported with a
+    95% t-CI over the N_PAIRS pairs.
+    """
     ref = [r["epe"] for r in rows if r["kind"] == "ref"]
     ours = [r["epe"] for r in rows if r["kind"] == "ours"]
     init = [r["epe_init"] for r in rows if r["kind"] == "ref"]
@@ -56,11 +70,28 @@ def summarize(rows):
     print(f"running: ref {mr*100:.3f} cm ({len(ref)} runs), "
           f"ours {mo*100:.3f} cm ({len(ours)} runs), "
           f"gap {abs(mo-mr)/mr*100:.2f}%", flush=True)
-    if len(ref) == N_PAIRS and len(ours) == N_PAIRS * N_SEEDS:
+    if len(ref) == N_PAIRS * N_SEEDS and len(ours) == N_PAIRS * N_SEEDS:
+        diffs = []
+        for p in range(N_PAIRS):
+            rp = [r["epe"] for r in rows
+                  if r["kind"] == "ref" and r["pair"] == p]
+            op = [r["epe"] for r in rows
+                  if r["kind"] == "ours" and r["pair"] == p]
+            diffs.append(float(np.mean(op)) - float(np.mean(rp)))
+        diffs = np.array(diffs)
+        n = len(diffs)
+        sd = float(diffs.std(ddof=1))
+        se = sd / np.sqrt(n)
+        t975 = {8: 2.365}.get(n, 2.365)  # two-sided 95%, df = n-1
+        mean_d = float(diffs.mean())
         print(json.dumps({
             "mean_ref_cm": mr * 100, "mean_ours_cm": mo * 100,
             "mean_init_cm": float(np.mean(init)) * 100,
             "rel_gap_pct": abs(mo - mr) / mr * 100,
+            "paired_mean_diff_cm": mean_d * 100,
+            "paired_ci95_cm": t975 * se * 100,
+            "paired_rel_diff_pct": mean_d / mr * 100,
+            "paired_rel_ci95_pct": t975 * se / mr * 100,
             "ref_runs": len(ref), "ours_runs": len(ours),
             "config": FULL,
         }))
@@ -107,18 +138,22 @@ def run_one_ref(rows):
     from test_full_config_parity import _reference_epe
     from deformationpyramid_tpu.data.synthetic import make_pair
 
-    done = {r["pair"] for r in rows if r["kind"] == "ref"}
-    todo = [p for p in range(N_PAIRS) if p not in done]
+    # ledger back-compat: round-2 ref cells recorded seed=pair (the sidx=0
+    # torch seed); rows carrying "sidx" are the round-3 second-seed cells
+    done = {(r["pair"], r.get("sidx", 0)) for r in rows if r["kind"] == "ref"}
+    todo = [(p, s) for s in range(N_SEEDS) for p in range(N_PAIRS)
+            if (p, s) not in done]
     if not todo:
         return rows
-    p = todo[0]
+    p, sidx = todo[0]
     src, tgt, flow_gt = make_pair(n=N_PTS, seed=p, deform=0.12)
-    epe = _reference_epe(src, tgt, flow_gt, seed=p)
-    row = {"kind": "ref", "pair": p, "seed": p, "epe": epe,
+    seed = _ref_torch_seed(p, sidx)
+    epe = _reference_epe(src, tgt, flow_gt, seed=seed)
+    row = {"kind": "ref", "pair": p, "seed": seed, "sidx": sidx, "epe": epe,
            "epe_init": float(np.linalg.norm(flow_gt, axis=1).mean())}
     append(row)
     rows.append(row)
-    print(f"ref pair {p}: {epe*100:.3f} cm", flush=True)
+    print(f"ref pair {p} sidx {sidx}: {epe*100:.3f} cm", flush=True)
     return rows
 
 

@@ -235,8 +235,9 @@ def test_fused_chamfer_solver_equivalence():
         outs.append((np.asarray(w), np.asarray(st["loss"]),
                      np.asarray(st["iters"])))
     assert (outs[0][2] == outs[1][2]).all(), (outs[0][2], outs[1][2])
-    # losses drift by compounded f32 rounding (x2+y2-2xy sweep vs |x-y|^2
-    # gather recompute) through 40 chaotic Adam steps; equivalence is
+    # losses drift by compounded f32 rounding through 40 chaotic Adam
+    # steps (the fused sweep also uses exact |x-y|^2 distances — only the
+    # reduction ordering differs from the gather path); equivalence is
     # metric-level, mirroring the reference-parity tolerance philosophy
     assert np.allclose(outs[0][1], outs[1][1], atol=5e-3), (outs[0][1],
                                                             outs[1][1])

@@ -56,8 +56,9 @@ def test_dataset_reader_and_batcher(tmp_path):
 
 
 @pytest.mark.parametrize("config,extra", [
-    ("config/NDP.yaml", ["--visualize"]),
-    ("config/NDP.yaml", ["--stream", "--depth", "2"]),
+    ("config/NDP.yaml", ["--visualize"]),                      # fast path
+    ("config/NDP.yaml", ["--no-fast", "--stream", "--depth", "2"]),
+    ("config/NDP.yaml", ["--no-fast"]),                        # legacy batch
     ("config/baselines/Sinkhorn.yaml", []),
 ])
 def test_eval_cli_runs(tmp_path, config, extra):
@@ -98,6 +99,69 @@ def test_eval_cli_runs(tmp_path, config, extra):
         pngs = glob.glob(str(tmp_path / "snapshot" / "**" / "*.png"),
                          recursive=True)
         assert len(pngs) == 2, pngs
+
+
+def test_eval_cli_fast_path_resume(tmp_path):
+    """Fast-path sweep interrupted after 2 of 4 pairs resumes losslessly:
+    the second invocation skips finished pairs and the final aggregates
+    match a single uninterrupted run (ledger meter recovery,
+    cli/eval_nolearned.py resume block)."""
+    import glob
+    import json
+    import yaml
+
+    root = str(tmp_path / "split")
+    write_synthetic_4dmatch(root, "4DMatch-F", n_pairs=4, n_pts=200)
+    with open("config/NDP.yaml") as f:
+        cfg = yaml.safe_load(f.read().replace("!join", ""))
+    cfg.update(data_root=root, samples=128, iters=20, exp_dir="t")
+    small = tmp_path / "cfg.yaml"
+    small.write_text(yaml.safe_dump(cfg))
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run(extra, cwd):
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.argv = ['x','--config', %r,"
+            "'--splits','4DMatch-F'] + %r;"
+            "from deformationpyramid_tpu.cli.eval_nolearned import main; main()"
+            % (str(small), extra)
+        )
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, cwd=cwd,
+                             timeout=900, env=env)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    # uninterrupted run in its own cwd for the golden aggregate
+    full_dir = tmp_path / "full"
+    full_dir.mkdir()
+    golden = run(["--seed", "0"], str(full_dir))
+
+    # interrupted run: --limit 2 writes 2 pairs to the ledger, then resume
+    part_dir = tmp_path / "part"
+    part_dir.mkdir()
+    run(["--seed", "0", "--limit", "2"], str(part_dir))
+    ledger = glob.glob(str(part_dir / "snapshot" / "**" / "*.pairs.jsonl"),
+                       recursive=True)
+    assert len(ledger) == 1
+    assert len(open(ledger[0]).read().splitlines()) == 2
+    resumed = run(["--seed", "0", "--resume"], str(part_dir))
+    assert "2 pairs already done" in resumed
+    assert len(open(ledger[0]).read().splitlines()) == 4
+
+    def score_line(stdout):
+        line = [l.strip() for l in stdout.splitlines()
+                if l.strip().startswith("4/4:")]
+        assert line, stdout
+        return line[0]
+
+    # per-pair sampling is seeded by a CRC of the pair's file name, so the
+    # resumed sweep reproduces the uninterrupted run's aggregates exactly
+    assert score_line(golden) == score_line(resumed)
 
 
 def test_write_4dmatch_suite_gt_convention(tmp_path):

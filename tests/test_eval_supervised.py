@@ -51,19 +51,17 @@ def test_run_eval_supervised_loop(tmp_path):
     assert "full-epe" in log
     assert "IR" in log and "NRFMR" in log
 
+    # lossless resume: the ledger recorded both pairs, so a resumed sweep
+    # skips everything yet reproduces the aggregates in a fresh log line
+    ledger = (tmp_path / "log" / "4DMatch-F.pairs.jsonl").read_text()
+    assert len(ledger.splitlines()) == 2
+    run_eval(cfg, lcfg, params, scfg, ["4DMatch-F"],
+             log_dir=str(tmp_path / "log"), resume=True)
+    lines = (tmp_path / "log" / "4DMatch-F.log").read_text().splitlines()
+    assert len(lines) == 2
+    assert lines[0].split("pairs:")[1] == lines[1].split("pairs:")[1]
+    # no pairs were re-evaluated
+    assert len((tmp_path / "log" /
+                "4DMatch-F.pairs.jsonl").read_text().splitlines()) == 2
 
-def test_bucket_quarter_octave():
-    """<=25% padding, monotone, and few distinct values per octave."""
-    from deformationpyramid_tpu.cli.eval_supervised import _bucket
 
-    prev = 0
-    for n in range(1, 40000, 137):
-        b = _bucket(n, 256)
-        assert b >= n
-        assert b >= prev or b >= 256  # monotone over increasing n
-        if n > 256:
-            assert b <= 1.25 * n + 256, (n, b)
-        prev = b
-    # distinct shapes per octave is bounded (4 quarter steps)
-    vals = {_bucket(n, 256) for n in range(1025, 2049)}
-    assert len(vals) <= 4, vals

@@ -79,6 +79,36 @@ def test_nrfmr_perfect_landmarks():
     assert float(r) == 1.0
 
 
+def test_nrfmr_search_radius_gates_far_landmarks():
+    """A landmark beyond search_radius=0.1 must not contribute to the IDW
+    blend (reference blend_anchor_motion, lib/tester.py:12-33)."""
+    # metric point at origin, GT flow zero
+    pts = jnp.zeros((1, 3), jnp.float32)
+    flow_gt = jnp.zeros((1, 3), jnp.float32)
+    # two correct landmarks within radius + one WRONG landmark far away
+    ldmk_s = jnp.array([[0.02, 0, 0], [0, 0.02, 0], [0.5, 0, 0]], jnp.float32)
+    ldmk_t = jnp.array([[0.02, 0, 0], [0, 0.02, 0], [1.5, 0, 0]], jnp.float32)
+    valid = jnp.ones((3,), bool)
+    # far landmark carries flow 1.0; ungated IDW at dists (.02,.02,.5)
+    # gives it weight ~0.0385 -> err ~0.0385 < recall_thr only due to the
+    # gating; verify both the recall and the gate directly
+    r = nrfmr(ldmk_s, ldmk_t, valid, pts, flow_gt, recall_thr=0.01)
+    assert float(r) == 1.0  # gated: blended flow ~0
+    r_ungated = nrfmr(ldmk_s, ldmk_t, valid, pts, flow_gt,
+                      recall_thr=0.01, search_radius=1e9)
+    assert float(r_ungated) == 0.0  # far landmark pollutes the blend
+
+    # reference quirk: ALL anchors out of radius -> uniform 1/k blend and
+    # the point STILL counts in the denominator (valid_mask is unused)
+    ldmk_s2 = jnp.array([[0.5, 0, 0], [0, 0.5, 0], [0, 0, 0.5]], jnp.float32)
+    ldmk_t2 = ldmk_s2 + 0.3
+    r_far = nrfmr(ldmk_s2, ldmk_t2, valid, pts, flow_gt, recall_thr=0.31)
+    # uniform blend of three 0.3-offset flows = [0.3,0.3,0.3], |err|=0.52
+    assert float(r_far) == 0.0
+    r_far2 = nrfmr(ldmk_s2, ldmk_t2, valid, pts, flow_gt, recall_thr=0.53)
+    assert float(r_far2) == 1.0
+
+
 def test_mutual_nn_and_blend():
     src = np.array([[0.0, 0, 0], [1.0, 0, 0], [5.0, 0, 0]], np.float32)
     tgt = np.array([[0.01, 0, 0], [1.02, 0, 0]], np.float32)
