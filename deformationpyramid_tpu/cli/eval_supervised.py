@@ -287,6 +287,9 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="skip pairs already recorded in the split's .done "
                          "ledger and recover their metric contributions")
+    ap.add_argument("--log-dir", default="snapshot/lndp",
+                    help="snapshot directory for logs/ledgers (keep "
+                         "before/after weight comparisons separate)")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -317,7 +320,8 @@ def main():
               "weights (pipeline validation only)")
 
     run_eval(cfg, lcfg, params, scfg, args.splits, args.limit,
-             stream_depth=args.depth, resume=args.resume)
+             stream_depth=args.depth, resume=args.resume,
+             log_dir=args.log_dir)
 
 
 if __name__ == "__main__":

@@ -39,17 +39,23 @@ def _pow2(n: int, minimum: int = 512) -> int:
 
 
 def make_matcher_batch_stream(ds: FourDMatchDataset, lcfg: LandmarkConfig,
-                              limits, coarse_match_radius: float = 0.024):
+                              limits, coarse_match_radius: float = 0.024,
+                              cache: bool = True):
     """Yield device-ready matcher-training dicts, one pair at a time.
 
     Every pair carries static power-of-two ``s_cap``/``t_cap`` (symmetric)
     so the compiled fwd+bwd step is shared across the sweep (each distinct
     cap pair costs a fresh full-matcher compile).
+
+    ``cache=True`` keeps the collated device batches across epochs — with
+    ``augment=False`` the pyramids are deterministic, and re-collating cost
+    ~0.5-1 s/pair/epoch of single-core host time, an order of magnitude
+    more than the on-chip step it feeds.
     """
     cl = lcfg.matcher.coarse_level
+    cached: list[dict] = []
 
-    def stream():
-        for i in range(len(ds)):
+    def build(i):
             pair = ds[i]
             pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
                                      KPFCN_ARCHITECTURE, limits)
@@ -79,7 +85,7 @@ def make_matcher_batch_stream(ds: FourDMatchDataset, lcfg: LandmarkConfig,
             match_gt_valid[:m] = True
             coarse_flow = np.zeros((cap, 3), np.float32)
             coarse_flow[:s_len] = c_flow
-            yield {
+            return {
                 "pyramid": {
                     "points": [jnp.array(p) for p in pyr.points],
                     "valids": [jnp.array(v) for v in pyr.valids],
@@ -98,6 +104,16 @@ def make_matcher_batch_stream(ds: FourDMatchDataset, lcfg: LandmarkConfig,
                 "s_cap": cap,
                 "t_cap": cap,
             }
+
+    def stream():
+        if cache and cached:
+            yield from cached
+            return
+        for i in range(len(ds)):
+            b = build(i)
+            if cache:
+                cached.append(b)
+            yield b
 
     return stream
 

@@ -99,6 +99,24 @@ def rotate_axis_angle(r: Array, x: Array) -> Array:
     return x + s * wxx + (1.0 - c) * (w * wdx - x)
 
 
+def rotate_axis_angle_t(r: Array, x: Array) -> Array:
+    """:func:`rotate_axis_angle` for the TRANSPOSED [3, N] point layout.
+
+    Identical math, component axis leading. The [3, N] layout puts the
+    point axis on the 128-wide TPU lane dimension, so each elementwise op
+    uses N lanes instead of 3-of-128 — the [N, 3] layout wastes 97% of
+    every VPU tile, which is what made the solver's per-iteration cost
+    linear in batch size (docs/PERFORMANCE.md round-3).
+    """
+    sq = jnp.sum(r * r, axis=0, keepdims=True)
+    theta = jnp.sqrt(jnp.maximum(sq, _EPS))
+    w = r / theta
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    wxx = jnp.cross(w, x, axis=0)
+    wdx = jnp.sum(w * x, axis=0, keepdims=True)
+    return x + s * wxx + (1.0 - c) * (w * wdx - x)
+
+
 def euler_to_SO3(euler: Array, convention: str = "XYZ") -> Array:
     """Euler angles [..., 3] -> rotation, R = Rx @ Ry @ Rz for "XYZ".
 

@@ -176,6 +176,65 @@ def level_warp(p: dict[str, Any], x: Array, level: Array | int,
     return x_, nonrigidity
 
 
+def posenc_t(xt: Array, level: Array | int, k0: int) -> Array:
+    """:func:`posenc` for the transposed [3, N] layout -> [6, N].
+
+    Row order matches posenc's feature order [sin x, cos x, sin y, cos y,
+    sin z, cos z] so the same ``input`` weights serve both layouts.
+    """
+    freq = jnp.exp2(jnp.asarray(level, jnp.float32) + 1.0 + k0)
+    s, c = jnp.sin(xt * freq), jnp.cos(xt * freq)
+    return jnp.stack([s[0], c[0], s[1], c[1], s[2], c[2]], axis=0)
+
+
+def _head_t(fea_t: Array, p: dict[str, Array]) -> Array:
+    """[w, N] features x [w, out] head -> [out, N]."""
+    return p["w"].T @ fea_t + p["b"][:, None]
+
+
+def level_features_t(p: dict[str, Any], xt: Array, level: Array | int,
+                     cfg: NDPConfig) -> Array:
+    """:func:`level_features` in the transposed layout: [3, N] -> [w, N]."""
+    fea = posenc_t(xt, level, cfg.k0)
+    fea = jax.nn.relu(_head_t(fea, p["input"]))
+
+    def hidden_step(h, lp):
+        return jax.nn.relu(lp["w"].T @ h + lp["b"][:, None]), None
+
+    if cfg.depth > 1:
+        fea, _ = jax.lax.scan(hidden_step, fea, p["hidden"])
+    return fea
+
+
+def level_warp_t(p: dict[str, Any], xt: Array, level: Array | int,
+                 cfg: NDPConfig) -> Array:
+    """:func:`level_warp` on TRANSPOSED [3, N] points -> warped [3, N].
+
+    Same math (same params, same quirks); the [3, N] layout puts the point
+    axis on the TPU's 128-lane dimension so elementwise ops use N lanes
+    instead of 3-of-128 (see ``rotations.rotate_axis_angle_t``). Supported
+    for the chamfer-only solver hot path: no nonrigidity branch (w_reg=0
+    benchmark config, ``config/NDP.yaml``).
+    """
+    assert not cfg.nonrigidity_est, "transposed path is w_reg=0 only"
+    fea = level_features_t(p, xt, level, cfg)
+    t = cfg.mlp_scale * _head_t(fea, p["trn"])
+
+    if cfg.motion == "sflow":
+        return xt + t
+    if cfg.rotation_format == "axis_angle":
+        rx = rot.rotate_axis_angle_t(cfg.mlp_scale * _head_t(fea, p["rot"]),
+                                     xt)
+    else:
+        r = cfg.mlp_scale * _head_t(fea, p["rot"])
+        R = rotation_from_features(r.T, cfg.rotation_format)
+        rx = rot.apply_rotation(R, xt.T).T
+    if cfg.motion == "Sim3":
+        s = cfg.mlp_scale * _head_t(fea, p["scale"]) + 1.0
+        return s * rx + t
+    return rx + t
+
+
 def warp(params: dict[str, Any], x: Array, cfg: NDPConfig,
          max_level: int | None = None, min_level: int = 0) -> tuple[Array, Array | None]:
     """Compose warps of levels [min_level, max_level] sequentially.

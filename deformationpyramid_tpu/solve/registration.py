@@ -29,7 +29,9 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..models.pyramid import NDPConfig, init_pyramid_params, level_warp, warp
+from ..models.pyramid import (
+    NDPConfig, init_pyramid_params, level_warp, level_warp_t, warp,
+)
 from .loop import LoopConfig, run_adam_loop
 from ..ops.chamfer import truncated_chamfer
 from ..ops.chamfer_fused import chamfer_l1_fused
@@ -58,6 +60,12 @@ class SolverConfig:
     # (docs/PERFORMANCE.md round-2 findings 0b and 2): None/False = off.
     use_fused: bool | None = None  # fused level-warp kernels (opt-in)
     use_fused_chamfer: bool | None = None  # one-kernel chamfer loss (opt-in)
+    # [3, N] layout for the level-warp compute chain (None = auto: ON when
+    # the nonrigidity branch is off). [N, 3] tensors put the point axis on
+    # TPU sublanes and the 3-vector on the 128-wide lane axis, so every
+    # elementwise op in the hot loop used 24/1024 of each VPU tile; the
+    # transposed chain uses full tiles (docs/PERFORMANCE.md round-3).
+    transposed: bool | None = None
 
 
 def _bce_zeros(p: Array, valid: Array | None = None) -> Array:
@@ -88,6 +96,9 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
     # experimentation and as the base of the fully-fused iteration kernel.
     fused = bool(cfg.use_fused) and supports_fused(pcfg) and cfg.w_reg == 0
     fused_cd = bool(cfg.use_fused_chamfer)
+    use_t = ((cfg.transposed if cfg.transposed is not None
+              else not pcfg.nonrigidity_est)
+             and not pcfg.nonrigidity_est and not fused)
 
     def chamfer(wx, wv):
         """Truncated chamfer vs the fixed target sample; the fused kernel
@@ -100,8 +111,14 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
                                  trunc=1e9 if n_ldmk == 0 else cfg.trunc_cd,
                                  use_pallas=cfg.use_pallas)
 
+    pts_t = pts.T if use_t else None
+
     def loss_fn(p):
-        if fused:
+        if use_t:
+            # [3, N] compute chain; one transpose back for the chamfer
+            # kernel + row slicing (same math, full VPU tiles)
+            warped, nr = level_warp_t(p, pts_t, lvl, pcfg).T, None
+        elif fused:
             warped, nr = fused_level_warp(p, pts, lvl, pcfg), None
         else:
             warped, nr = level_warp(p, pts, lvl, pcfg)

@@ -104,3 +104,43 @@ def test_sim3_scale_starts_at_one():
     # scale = 0.001*s+1 ~ 1 => norm ratio close to 1
     ratio = float(jnp.linalg.norm(out) / jnp.linalg.norm(x))
     assert abs(ratio - 1.0) < 0.01
+
+
+def test_transposed_level_warp_matches():
+    """level_warp_t ([3,N] layout) reproduces level_warp for every motion
+    and rotation format it supports (same params, same math — only the
+    matmul reduction layout differs)."""
+    from deformationpyramid_tpu.models.pyramid import level_warp_t
+
+    for motion, fmt in [("SE3", "axis_angle"), ("SE3", "quaternion"),
+                        ("Sim3", "axis_angle"), ("sflow", "axis_angle"),
+                        ("SE3", "6D"), ("SE3", "euler")]:
+        cfg = NDPConfig(m=2, motion=motion, rotation_format=fmt)
+        params = init_pyramid_params(jax.random.key(7), cfg)
+        x = _points(seed=8, n=257)
+        ref, _ = level_warp(level_params(params, 1), x, 1, cfg)
+        out_t = level_warp_t(level_params(params, 1), x.T, 1, cfg)
+        # 6D's Gram-Schmidt amplifies f32 rounding to ~7e-6
+        assert np.allclose(np.asarray(out_t.T), np.asarray(ref),
+                           atol=1e-5), (motion, fmt)
+
+
+def test_transposed_solver_path_matches_metrics():
+    """register_pair with the [3,N] hot path converges to the same result
+    as the [N,3] path (metric-level: same early-stop iters, close loss)."""
+    from deformationpyramid_tpu.data.synthetic import make_pair
+    from deformationpyramid_tpu.solve.registration import (
+        SolverConfig, register_pair,
+    )
+
+    src, tgt, _ = make_pair(n=300, seed=3, deform=0.08)
+    outs = []
+    for t in (False, True):
+        cfg = SolverConfig(pyramid=NDPConfig(m=3, k0=-4, depth=2, width=32),
+                           iters=40, samples=256, use_pallas=False,
+                           transposed=t)
+        w, st = jax.jit(lambda k, s, tt: register_pair(k, s, tt, cfg))(
+            jax.random.key(0), jnp.array(src), jnp.array(tgt))
+        outs.append((np.asarray(w), np.asarray(st["loss"])))
+    assert np.abs(outs[0][0] - outs[1][0]).max() < 2e-2
+    assert np.allclose(outs[0][1], outs[1][1], atol=5e-3)
