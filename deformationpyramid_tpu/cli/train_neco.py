@@ -26,8 +26,14 @@ from ..utils.checkpoint import load_pytree
 from ..utils.config import load_config
 
 
-def _round_up(x, m=256):
-    return ((x + m - 1) // m) * m
+def _pow2(n: int, minimum: int = 512) -> int:
+    """Power-of-two bucket: every distinct padded shape tuple costs a
+    fresh ~70-100 s matcher compile (round-2 finding: finer buckets made
+    nearly every pair a unique compile)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
 
 
 def interpolate_flow_to_coarse(coarse_src: np.ndarray, full_src: np.ndarray,
@@ -49,14 +55,15 @@ def make_batch_stream(ds: FourDMatchDataset, lcfg: LandmarkConfig, limits):
     def stream():
         for i in range(len(ds)):
             pair = ds[i]
-            pad0 = _round_up(len(pair.src) + len(pair.tgt))
             pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
                                      KPFCN_ARCHITECTURE, limits)
-            pad = [_round_up(len(p)) for p in pyr.points]
+            pad = [_pow2(len(p)) for p in pyr.points]
             pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
                                      KPFCN_ARCHITECTURE, limits, pad_to=pad)
-            n_c = pad[cl]
             s_len = pyr.src_lengths[cl]
+            # symmetric pow2 coarse cap: the frozen matcher forward other-
+            # wise pads both clouds to the full stacked coarse size
+            cap = _pow2(max(s_len, pyr.tgt_lengths[cl]))
             coarse_src = pyr.points[cl][:s_len]
             cflow = interpolate_flow_to_coarse(coarse_src, pair.src,
                                                pair.flow_gt)
@@ -65,7 +72,7 @@ def make_batch_stream(ds: FourDMatchDataset, lcfg: LandmarkConfig, limits):
             # recover it: flow_def = R^-1 (flow_gt + Ps - t) - Ps
             flow_def = (pair.rot.T @ (cflow + coarse_src
                                       - pair.trans.T).T).T - coarse_src
-            coarse_flow = np.zeros((n_c, 3), np.float32)
+            coarse_flow = np.zeros((cap, 3), np.float32)
             coarse_flow[:s_len] = flow_def
             yield {
                 "pyramid": {
@@ -81,6 +88,8 @@ def make_batch_stream(ds: FourDMatchDataset, lcfg: LandmarkConfig, limits):
                 "coarse_flow": jnp.array(coarse_flow),
                 "gt_rot": jnp.array(pair.rot),
                 "gt_trn": jnp.array(pair.trans),
+                "s_cap": cap,
+                "t_cap": cap,
             }
 
     return stream

@@ -145,7 +145,8 @@ def make_neco_train_step(matcher_params: dict, lcfg: LandmarkConfig,
 
 
 def make_neco_accum_fns(matcher_params: dict, lcfg: LandmarkConfig,
-                        opt: optax.GradientTransformation):
+                        opt: optax.GradientTransformation,
+                        s_cap: int | None = None, t_cap: int | None = None):
     """(grads_fn, apply_fn) pair implementing ``iter_size`` accumulation.
 
     Mirrors the reference exactly (``lib/trainer.py:185-201``): per-batch
@@ -153,8 +154,13 @@ def make_neco_accum_fns(matcher_params: dict, lcfg: LandmarkConfig,
     scaling), the optimizer steps once every ``iter_size`` batches, the
     NaN/Inf guard runs on the ACCUMULATED gradient at step time and skips
     the whole step when it fails (``zero_grad`` still clears the buffer).
+
+    ``s_cap``/``t_cap``: static coarse caps — without them the frozen
+    matcher forward runs at the FULL stacked coarse pad (~16x the [S, T]
+    work at 8k coarse points, and a much bigger compile).
     """
-    loss_fn = make_neco_loss_fn(matcher_params, lcfg)
+    loss_fn = make_neco_loss_fn(matcher_params, lcfg, s_cap=s_cap,
+                                t_cap=t_cap)
 
     @jax.jit
     def grads_fn(neco_params, accum, pyramid, src_len_c, tgt_len_c,
@@ -273,9 +279,11 @@ def train_matcher(matcher_params: dict, lcfg: LandmarkConfig,
     return matcher_params
 
 
-def make_neco_eval_step(matcher_params: dict, lcfg: LandmarkConfig):
+def make_neco_eval_step(matcher_params: dict, lcfg: LandmarkConfig,
+                        s_cap: int | None = None, t_cap: int | None = None):
     """Jitted loss-only step for the validation split (no update)."""
-    loss_fn = make_neco_loss_fn(matcher_params, lcfg)
+    loss_fn = make_neco_loss_fn(matcher_params, lcfg, s_cap=s_cap,
+                                t_cap=t_cap)
 
     @jax.jit
     def step(neco_params, pyramid, src_len_c, tgt_len_c, coarse_flow,
@@ -312,8 +320,28 @@ def train_neco(matcher_params: dict, neco_params: dict, lcfg: LandmarkConfig,
     opt = make_optimizer(cfg, opt_steps_per_epoch)
     sched = make_schedule(cfg, opt_steps_per_epoch)
     opt_state = opt.init(neco_params)
-    grads_fn, apply_fn = make_neco_accum_fns(matcher_params, lcfg, opt)
-    eval_step = make_neco_eval_step(matcher_params, lcfg) if val_batches else None
+    # one compiled grads/eval fn per static coarse-cap pair (batches carry
+    # optional "s_cap"/"t_cap" ints; see make_neco_accum_fns docstring)
+    grads_fns: dict[tuple, Any] = {}
+    eval_steps: dict[tuple, Any] = {}
+    apply_fn_box: list = []
+
+    def get_grads_fn(batch):
+        caps = (batch.get("s_cap"), batch.get("t_cap"))
+        if caps not in grads_fns:
+            g, a = make_neco_accum_fns(matcher_params, lcfg, opt,
+                                       s_cap=caps[0], t_cap=caps[1])
+            grads_fns[caps] = g
+            if not apply_fn_box:
+                apply_fn_box.append(a)  # caps-independent
+        return grads_fns[caps]
+
+    def get_eval_step(batch):
+        caps = (batch.get("s_cap"), batch.get("t_cap"))
+        if caps not in eval_steps:
+            eval_steps[caps] = make_neco_eval_step(
+                matcher_params, lcfg, s_cap=caps[0], t_cap=caps[1])
+        return eval_steps[caps]
 
     os.makedirs(cfg.snapshot_dir, exist_ok=True)
     history_path = f"{cfg.snapshot_dir}/history.jsonl"
@@ -336,11 +364,11 @@ def train_neco(matcher_params: dict, neco_params: dict, lcfg: LandmarkConfig,
         meter = AverageMeter()
         ir_meter = AverageMeter()
         for batch in train_batches():
-            accum, loss, info = grads_fn(neco_params, accum,
-                                         *_batch_args(batch))
+            accum, loss, info = get_grads_fn(batch)(neco_params, accum,
+                                                    *_batch_args(batch))
             c_iter += 1
             if c_iter % max(cfg.iter_size, 1) == 0:
-                neco_params, opt_state, accum, ok = apply_fn(
+                neco_params, opt_state, accum, ok = apply_fn_box[0](
                     neco_params, opt_state, accum)
                 n_opt_steps += 1
                 if not bool(ok):
@@ -356,7 +384,8 @@ def train_neco(matcher_params: dict, neco_params: dict, lcfg: LandmarkConfig,
             v_meter = AverageMeter()
             v_ir = AverageMeter()
             for batch in val_batches():
-                v_loss, v_info = eval_step(neco_params, *_batch_args(batch))
+                v_loss, v_info = get_eval_step(batch)(neco_params,
+                                                      *_batch_args(batch))
                 v_meter.update(float(v_loss))
                 v_ir.update(float(v_info["IR_neco"]))
             log_fn(f"epoch {epoch}: val loss {v_meter.avg:.4f} "
