@@ -28,7 +28,9 @@ sys.path.insert(0, os.path.join(
 LEDGER = sys.argv[1] if len(sys.argv) > 1 else "/tmp/full_parity.jsonl"
 MODE = sys.argv[2] if len(sys.argv) > 2 else "auto"
 
-N_PAIRS, N_SEEDS, N_PTS = 8, 2, 2000
+N_PAIRS = int(os.environ.get("PARITY_PAIRS", "8"))
+N_SEEDS = int(os.environ.get("PARITY_SEEDS", "2"))
+N_PTS = 2000
 FULL = dict(m=9, k0=-8, depth=3, width=128, iters=500, lr=0.01,
             samples=2000, max_break_count=15, break_threshold_ratio=0.001)
 
@@ -82,7 +84,9 @@ def summarize(rows):
         n = len(diffs)
         sd = float(diffs.std(ddof=1))
         se = sd / np.sqrt(n)
-        t975 = {8: 2.365}.get(n, 2.365)  # two-sided 95%, df = n-1
+        # two-sided 95% t quantile, df = n-1
+        t975 = {4: 3.182, 6: 2.571, 8: 2.365, 10: 2.262, 12: 2.201,
+                16: 2.131, 20: 2.093}.get(n, 2.0)
         mean_d = float(diffs.mean())
         print(json.dumps({
             "mean_ref_cm": mr * 100, "mean_ours_cm": mo * 100,
