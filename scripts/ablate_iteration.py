@@ -152,6 +152,61 @@ def main():
 
     timeit("full iteration (loss+adam+stop)", full_iter, flat_b, x, y)
 
+    # ---- 7. [3, N] transposed variants (round-3 layout lever)
+    from deformationpyramid_tpu.models.pyramid import level_warp_t
+
+    @jax.jit
+    def mlp_fwd_t(xb):
+        def one(x1):
+            xt = x1.T
+            def body(i, c):
+                w = level_warp_t(unravel(flat0), c, lvl, CFG)
+                return c + 1e-9 * w
+            return jax.lax.fori_loop(0, ITERS, body, xt)
+        return jax.vmap(one)(xb)
+
+    timeit("mlp fwd [3,N]", mlp_fwd_t, x)
+
+    @jax.jit
+    def full_fwdbwd_t(fb, xb, yb):
+        def one(f, x1, y1):
+            xt = x1.T
+            def loss(fl):
+                w = level_warp_t(unravel(fl), xt, lvl, CFG).T
+                return truncated_chamfer(w, y1, use_pallas=True)
+            def body(i, c):
+                g = jax.grad(loss)(c)
+                return c + 1e-9 * g
+            return jax.lax.fori_loop(0, ITERS, body, f)
+        return jax.vmap(one)(fb, xb, yb)
+
+    timeit("full loss fwd+bwd [3,N]", full_fwdbwd_t, flat_b, x, y)
+
+    @jax.jit
+    def full_iter_t(fb, xb, yb):
+        def one(f, x1, y1):
+            xt = x1.T
+            def loss(fl):
+                w = level_warp_t(unravel(fl), xt, lvl, CFG).T
+                return truncated_chamfer(w, y1, use_pallas=True), w
+            st0 = opt.init(f)
+            def body(i, c):
+                f, st, lp, cnt = c
+                (l, w), g = jax.value_and_grad(loss, has_aux=True)(f)
+                done = (l < 1e-4) | (cnt >= 15)
+                upd, st2 = opt.update(g, st, f)
+                f2 = optax.apply_updates(f, upd)
+                keep = lambda a, b: jnp.where(done, b, a)
+                plateau = jnp.abs(lp - l) < lp * 1e-3
+                return (jax.tree.map(keep, f2, f), jax.tree.map(keep, st2, st),
+                        jnp.where(done, lp, l), cnt + plateau.astype(jnp.int32) * 0)
+            out = jax.lax.fori_loop(0, ITERS, body,
+                                    (f, st0, jnp.float32(1e6), jnp.int32(0)))
+            return out[0]
+        return jax.vmap(one)(fb, xb, yb)
+
+    timeit("full iteration [3,N]", full_iter_t, flat_b, x, y)
+
 
 if __name__ == "__main__":
     main()
