@@ -44,6 +44,8 @@ CFG = SolverConfig(
     samples=2000,
     use_fused=bool(int(os.environ.get("BENCH_FUSED_WARP", "0"))) or None,
     use_fused_chamfer=bool(int(os.environ.get("BENCH_FUSED_CD", "0"))) or None,
+    transposed=(bool(int(os.environ["BENCH_TRANSPOSED"]))
+                if "BENCH_TRANSPOSED" in os.environ else None),
 )
 
 

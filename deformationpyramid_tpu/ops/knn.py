@@ -235,9 +235,13 @@ def _nn_dual_kernel(x_ref, y_ref, x2_ref, y2_ref,
 
 @functools.partial(jax.jit, static_argnames=("tn", "elementwise"))
 def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
-                           tn: int = 512, elementwise: bool = True):
+                           tn: int = 1024, elementwise: bool = True):
     # elementwise default: exact-f32 FMA distances measured 16% faster than
-    # the Precision.HIGHEST K=3 matmul (0.047 vs 0.055 ms/sweep, round 2)
+    # the Precision.HIGHEST K=3 matmul (0.047 vs 0.055 ms/sweep, round 2).
+    # tn default 1024 (was 512): 12% faster at B=1 n=2000 (0.1007 vs
+    # 0.1145 ms/sweep, round-3 tile sweep) and within noise of 512 at B=4;
+    # the in-kernel [tn, tm<=2048] distance block is 8 MB VMEM, computed
+    # (not pipelined), so it fits the ~16 MB budget.
     n_pad, d = x_pad.shape
     m_pad = y_pad.shape[0]
     tm = min(m_pad, 2048)
@@ -281,7 +285,7 @@ def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
 def nn_argmin_dual_pallas(x: Array, y: Array,
                           x_valid: Array | None = None,
                           y_valid: Array | None = None,
-                          tn: int = 512) -> tuple[Array, Array, Array, Array]:
+                          tn: int = 1024) -> tuple[Array, Array, Array, Array]:
     """Both-direction 1-NN in a single distance-tile sweep.
 
     Returns (sq_x2y [N], idx_x2y [N], sq_y2x [M], idx_y2x [M]). The fused

@@ -60,11 +60,12 @@ class SolverConfig:
     # (docs/PERFORMANCE.md round-2 findings 0b and 2): None/False = off.
     use_fused: bool | None = None  # fused level-warp kernels (opt-in)
     use_fused_chamfer: bool | None = None  # one-kernel chamfer loss (opt-in)
-    # [3, N] layout for the level-warp compute chain (None = auto: ON when
-    # the nonrigidity branch is off). [N, 3] tensors put the point axis on
-    # TPU sublanes and the 3-vector on the 128-wide lane axis, so every
-    # elementwise op in the hot loop used 24/1024 of each VPU tile; the
-    # transposed chain uses full tiles (docs/PERFORMANCE.md round-3).
+    # [3, N] layout for the level-warp compute chain — measured EXACTLY
+    # NEUTRAL on the real chip (bench median 7.07 vs 7.08 pairs/s, same
+    # 0.112 ms/iter, identical iteration counts; docs/PERFORMANCE.md
+    # round-3 parking entry: XLA's layout assignment already handles the
+    # [N, 3] minor-dim padding the hypothesis blamed). Opt-in like the
+    # other measured-neutral experiments: None/False = off.
     transposed: bool | None = None
 
 
@@ -96,9 +97,7 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
     # experimentation and as the base of the fully-fused iteration kernel.
     fused = bool(cfg.use_fused) and supports_fused(pcfg) and cfg.w_reg == 0
     fused_cd = bool(cfg.use_fused_chamfer)
-    use_t = ((cfg.transposed if cfg.transposed is not None
-              else not pcfg.nonrigidity_est)
-             and not pcfg.nonrigidity_est and not fused)
+    use_t = bool(cfg.transposed) and not pcfg.nonrigidity_est and not fused
 
     def chamfer(wx, wv):
         """Truncated chamfer vs the fixed target sample; the fused kernel
