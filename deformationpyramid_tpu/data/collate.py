@@ -216,22 +216,26 @@ def build_pair_pyramid(src: np.ndarray, tgt: np.ndarray, cfg: KPConvConfig,
             [lv_points[l], np.full((target - n, 3), 1e6, np.float32)])
 
     # remap shadows: original shadow index == true count; after padding the
-    # shadow must be the padded size (the appended far-row index)
+    # shadow must be the padded size (the appended far-row index).
+    # Tables ship as int32: the neighbor/pool/upsample matrices are the
+    # bulk of the per-pair host->device bytes on the tunneled chip
+    # (~10 MB/pair at int64 for an 8k-point pair — half the LNDP sweep's
+    # dispatch cost), and point counts are far below 2^31.
     for l in range(n_levels):
         true_n = src_lengths[l] + tgt_lengths[l]
         nb = lv_neighbors[l]
         nb = np.where(nb >= true_n, pad_to[l], nb)
-        out = np.full((pad_to[l], nb.shape[1]), pad_to[l], np.int64)
+        out = np.full((pad_to[l], nb.shape[1]), pad_to[l], np.int32)
         out[:len(nb)] = nb
         lv_neighbors[l] = out
         if l < n_levels - 1 and lv_pools[l].shape[0] > 0:
             true_next = src_lengths[l + 1] + tgt_lengths[l + 1]
             pl = np.where(lv_pools[l] >= true_n, pad_to[l], lv_pools[l])
-            outp = np.full((pad_to[l + 1], pl.shape[1]), pad_to[l], np.int64)
+            outp = np.full((pad_to[l + 1], pl.shape[1]), pad_to[l], np.int32)
             outp[:len(pl)] = pl
             lv_pools[l] = outp
             up = np.where(lv_ups[l] >= true_next, pad_to[l + 1], lv_ups[l])
-            outu = np.full((pad_to[l], up.shape[1]), pad_to[l + 1], np.int64)
+            outu = np.full((pad_to[l], up.shape[1]), pad_to[l + 1], np.int32)
             outu[:len(up)] = up
             lv_ups[l] = outu
 

@@ -93,9 +93,11 @@ def test_matcher_forward_parity(ref_pipeline):
     # ---- reference forward ----
     data = {
         "points": [torch.from_numpy(p) for p in pyr.points],
-        "neighbors": [torch.from_numpy(n) for n in pyr.neighbors],
-        "pools": [torch.from_numpy(p) for p in pyr.pools] + [torch.zeros(0, 1).long()],
-        "upsamples": [torch.from_numpy(u) for u in pyr.upsamples] + [torch.zeros(0, 1).long()],
+        # collate ships int32 index tables (transfer-size optimization);
+        # torch indexing wants int64
+        "neighbors": [torch.from_numpy(n).long() for n in pyr.neighbors],
+        "pools": [torch.from_numpy(p).long() for p in pyr.pools] + [torch.zeros(0, 1).long()],
+        "upsamples": [torch.from_numpy(u).long() for u in pyr.upsamples] + [torch.zeros(0, 1).long()],
         "features": torch.from_numpy(pyr.features),
         "stack_lengths": [torch.tensor([pyr.src_lengths[l], pyr.tgt_lengths[l]])
                           for l in range(len(pyr.points))],
