@@ -73,9 +73,19 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
         lambda p, pyr, sl, tl, s_cap, t_cap: landmark_inference(
             p, pyr, sl, tl, lcfg, s_cap=s_cap, t_cap=t_cap),
         static_argnums=(4, 5))
-    reg_jit = jax.jit(lambda k, s, t, sv, tv, ls, lt, lv: register_pair(
-        k, s, t, scfg, src_valid=sv, tgt_valid=tv,
-        src_ldmk=ls, tgt_ldmk=lt, ldmk_valid=lv))
+
+    from .eval_nolearned import METRIC_KEYS
+
+    def _reg_metrics(k, s, t, sv, tv, fg, ov, ls, lt, lv):
+        """Solve + flow metrics in ONE program: only a [12] metric vector
+        crosses the tunnel back (fetching the warped [N, 3] cloud per pair
+        was the sweep's serial cost under tunnel congestion)."""
+        warped, _ = register_pair(k, s, t, scfg, src_valid=sv, tgt_valid=tv,
+                                  src_ldmk=ls, tgt_ldmk=lt, ldmk_valid=lv)
+        m = compute_flow_metrics(warped - s, fg, overlap=ov, valid=sv)
+        return jnp.stack([m[k2] for k2 in METRIC_KEYS])
+
+    reg_jit = jax.jit(_reg_metrics)
 
     for split in splits:
         ds = FourDMatchDataset(cfg.data_root, split)
@@ -188,28 +198,31 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             sv[:ns] = True
             tv = np.zeros(mb, bool)
             tv[:nt] = True
-            warped, _stats = reg_jit(sub, jnp.array(src_p), jnp.array(tgt_p),
-                                     jnp.array(sv), jnp.array(tv),
-                                     data["ldmk_s"], data["ldmk_t"],
-                                     data["ldmk_valid"])
-            return pair, data, warped, ns
+            fg_p = np.zeros((nb, 3), np.float32)
+            fg_p[:ns] = pair.flow_gt
+            ov_p = np.zeros(nb, bool)
+            ov_p[:ns] = pair.overlap
+            mvec = reg_jit(sub, jnp.array(src_p), jnp.array(tgt_p),
+                           jnp.array(sv), jnp.array(tv),
+                           jnp.array(fg_p), jnp.array(ov_p),
+                           data["ldmk_s"], data["ldmk_t"],
+                           data["ldmk_valid"])
+            return pair, data, mvec
 
         def harvest(item):
-            pair, data, warped_dev, ns = item
-            warped = np.asarray(warped_dev)[:ns]
-            # metric math on the local CPU backend: eager jnp ops on the
-            # tunneled TPU are remote dispatches (seconds each)
+            pair, data, mvec = item
+            # flow metrics arrive as ONE small device vector; matcher-side
+            # metrics (IR/NRFMR) need only the [K,3] landmark arrays — the
+            # host math runs on the local CPU backend (eager jnp ops on the
+            # tunneled TPU are remote dispatches, seconds each)
             from ..metrics.matching import inlier_ratio, nrfmr
 
+            m = dict(zip(METRIC_KEYS, (float(v) for v in np.asarray(mvec))))
             ldmk_s = np.asarray(data["ldmk_s"])
             ldmk_t = np.asarray(data["ldmk_t"])
             ldmk_valid = np.asarray(data["ldmk_valid"])
             ldmk_flow_gt = interp_flow(ldmk_s, pair)
             with jax.default_device(_metric_device()):
-                flow = warped - pair.src
-                m = compute_flow_metrics(jnp.array(flow),
-                                         jnp.array(pair.flow_gt),
-                                         overlap=jnp.array(pair.overlap))
                 m["n_landmarks"] = float(ldmk_valid.sum())
                 # matcher-side metrics: IR @0.04m on the landmark pairs;
                 # NRFMR over the metric-index sample (4DLoMatch) or overlap
