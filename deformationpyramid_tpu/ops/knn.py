@@ -285,7 +285,7 @@ def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
 def nn_argmin_dual_pallas(x: Array, y: Array,
                           x_valid: Array | None = None,
                           y_valid: Array | None = None,
-                          tn: int = 1024) -> tuple[Array, Array, Array, Array]:
+                          tn: int | None = None) -> tuple[Array, Array, Array, Array]:
     """Both-direction 1-NN in a single distance-tile sweep.
 
     Returns (sq_x2y [N], idx_x2y [N], sq_y2x [M], idx_y2x [M]). The fused
@@ -294,12 +294,18 @@ def nn_argmin_dual_pallas(x: Array, y: Array,
     """
     n, d = x.shape
     m = y.shape[0]
-    n_pad = _round_up(max(n, tn), tn)
     # m_pad must be a multiple of the inner y-tile (2048 cap) so every
     # y row is scanned by the fori loop
     m_pad = _round_up(max(m, 256), 256)
     if m_pad > 2048:
         m_pad = _round_up(m_pad, 2048)
+    if tn is None:
+        # tn=1024 is 12% faster at the solver's m_pad<=2048 shapes
+        # (round-3 tile sweep) but its [1024, 2048] in-kernel distance
+        # block OOMs the 16 MB scoped-VMEM budget once m_pad > 2048
+        # (measured: 16.67 MB at m_pad=4096) — fall back to 512 there.
+        tn = 1024 if m_pad <= 2048 else 512
+    n_pad = _round_up(max(n, tn), tn)
     x_pad = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(x.astype(jnp.float32))
     y_pad = jnp.zeros((m_pad, d), jnp.float32).at[:m].set(y.astype(jnp.float32))
     x2 = jnp.sum(x_pad * x_pad, axis=-1)
