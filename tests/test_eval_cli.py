@@ -101,6 +101,77 @@ def test_eval_cli_runs(tmp_path, config, extra):
         assert len(pngs) == 2, pngs
 
 
+def test_eval_cli_fast_matches_legacy(tmp_path):
+    """The fixed-shape fast path and the legacy per-bucket path agree at
+    the metric level on the same pairs (different RNG streams for the
+    2000-point subsample, so tolerance is metric-level, not bitwise)."""
+    import yaml
+
+    root = str(tmp_path / "split")
+    write_synthetic_4dmatch(root, "4DMatch-F", n_pairs=3, n_pts=300)
+    with open("config/NDP.yaml") as f:
+        cfg = yaml.safe_load(f.read().replace("!join", ""))
+    cfg.update(data_root=root, samples=256, iters=60, exp_dir="t")
+    small = tmp_path / "cfg.yaml"
+    small.write_text(yaml.safe_dump(cfg))
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run(extra, cwd):
+        cwd.mkdir(exist_ok=True)
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.argv = ['x','--config', %r,"
+            "'--splits','4DMatch-F'] + %r;"
+            "from deformationpyramid_tpu.cli.eval_nolearned import main; main()"
+            % (str(small), extra)
+        )
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, cwd=str(cwd),
+                             timeout=900, env=env)
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = [l.strip() for l in out.stdout.splitlines()
+                if l.strip().startswith("3/3")]
+        assert line, out.stdout
+        return {kv.split(":")[0]: float(kv.split(":")[1])
+                for kv in line[0].split(" ", 1)[1].split("\t")}
+
+    fast = run([], tmp_path / "fast")
+    legacy = run(["--no-fast"], tmp_path / "legacy")
+    assert abs(fast["full-epe"] - legacy["full-epe"]) < 0.3, (fast, legacy)
+    assert abs(fast["full-AccR"] - legacy["full-AccR"]) < 5.0, (fast, legacy)
+
+
+def test_eval_cli_ed_delegation(tmp_path):
+    """An ED config drives through eval_nolearned by delegating to the
+    depth/graph eval path (reference: one entry point dispatches all five
+    deformation models, model/registration.py:106-123)."""
+    import yaml
+
+    root = str(tmp_path / "split")
+    os.makedirs(os.path.join(root, "4DMatch-F"), exist_ok=True)  # empty split
+    with open("config/baselines/NICP.yaml") as f:
+        cfg = yaml.safe_load(f.read().replace("!join", ""))
+    cfg["data_root"] = root
+    small = tmp_path / "cfg.yaml"
+    small.write_text(yaml.safe_dump(cfg))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['x','--config', %r,'--splits','4DMatch-F'];"
+        "from deformationpyramid_tpu.cli.eval_nolearned import main; main()"
+        % str(small)
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=str(tmp_path), timeout=300, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "delegating to cli.eval_ed" in out.stdout
+
+
 def test_eval_cli_fast_path_resume(tmp_path):
     """Fast-path sweep interrupted after 2 of 4 pairs resumes losslessly:
     the second invocation skips finished pairs and the final aggregates
