@@ -91,7 +91,7 @@ METRIC_KEYS = ("full-epe", "full-AccS", "full-AccR", "full-outlier",
                "occ-epe", "occ-AccS", "occ-AccR", "occ-outlier")
 
 
-def make_fast_ndp(scfg: SolverConfig):
+def make_fast_solver(model: str, scfg):
     """Fixed-shape solver + bucketed warp/metrics programs (the fast path).
 
     The reference's sweep (``/root/reference/eval_nolearned.py:59-159``)
@@ -115,8 +115,42 @@ def make_fast_ndp(scfg: SolverConfig):
     the warp/metric input as one [N, 7] block (src_c, flow_gt,
     overlap/valid code) — and the 12 metric scalars return as ONE [12]
     vector (fetching them individually cost ~12 RTTs/pair).
+
+    NSFP and Nerfies share the exact optimize-then-apply shape (reference
+    ``registration.py:470-540, 265-339``), so the same machinery drives
+    them; Sinkhorn evaluates on the moved subset and keeps the legacy path.
     """
-    pcfg = scfg.pyramid
+    if model == "NDP":
+        def opt_fn(key, ss, sv, ts, tv):
+            return optimize_pyramid(key, ss, sv, ts, tv, scfg)
+
+        def full_warp(state, src_c):
+            return warp(state[0], src_c, scfg.pyramid)[0]
+    elif model == "NSFP":
+        from ..models.baselines import nsfp_flow
+        from ..solve.baselines import optimize_nsfp
+
+        def opt_fn(key, ss, sv, ts, tv):
+            return optimize_nsfp(key, ss, sv, ts, tv, scfg)
+
+        def full_warp(state, src_c):
+            return src_c + nsfp_flow(state[0], src_c, scfg.net)
+    elif model == "Nerfies":
+        import dataclasses as _dc
+
+        from ..models.baselines import nerfies_warp
+        from ..solve.baselines import optimize_nerfies
+
+        def opt_fn(key, ss, sv, ts, tv):
+            return optimize_nerfies(key, ss, sv, ts, tv, scfg)
+
+        def full_warp(state, src_c):
+            net = _dc.replace(scfg.net, max_iter=scfg.iters)
+            last_it = jnp.maximum(state[1]["iters"] - 1, 0)
+            return nerfies_warp(state[0], src_c, last_it, net)
+    else:
+        raise KeyError(f"no fast path for deformation_model {model!r}")
+
     base_key = jax.random.key(0)
 
     @jax.jit
@@ -124,25 +158,23 @@ def make_fast_ndp(scfg: SolverConfig):
         key = jax.random.fold_in(base_key, seed)
         s_sample, s_valid = st_packed[0, :, :3], st_packed[0, :, 3] > 0.5
         t_sample, t_valid = st_packed[1, :, :3], st_packed[1, :, 3] > 0.5
-        return optimize_pyramid(key, s_sample, s_valid, t_sample, t_valid,
-                                scfg)
+        return opt_fn(key, s_sample, s_valid, t_sample, t_valid)
 
     @jax.jit
-    def warp_metrics(params, packed, delta_mean):
+    def warp_metrics(state, packed, delta_mean):
         src_c = packed[:, :3]
         flow_gt = packed[:, 3:6]
         code = packed[:, 6]            # -1 pad, 0 valid non-overlap, 1 overlap
         valid = code > -0.5
         overlap = code > 0.5
-        warped, _ = warp(params, src_c, pcfg)
+        warped = full_warp(state, src_c)
         flow = warped - src_c + delta_mean  # == (warped+tgt_mean) - src
         m = compute_flow_metrics(flow, flow_gt, overlap=overlap, valid=valid)
         return jnp.stack([m[k] for k in METRIC_KEYS])
 
     @jax.jit
-    def warp_bucket(params, packed):
-        warped, _ = warp(params, packed[:, :3], pcfg)
-        return warped
+    def warp_bucket(state, packed):
+        return full_warp(state, packed[:, :3])
 
     return solve_fixed, warp_metrics, warp_bucket
 
@@ -205,9 +237,10 @@ def main():
                          "snapshot dir (headless PNG; reference "
                          "eval_nolearned.py:31,149 shows a mayavi window)")
     ap.add_argument("--no-fast", dest="fast", action="store_false",
-                    help="disable the fixed-shape NDP fast path (one "
-                         "compiled solver program + bucketed warp/metrics) "
-                         "and use legacy per-bucket solver programs")
+                    help="disable the fixed-shape fast path (one compiled "
+                         "solver program + bucketed warp/metrics; "
+                         "NDP/NSFP/Nerfies) and use legacy per-bucket "
+                         "solver programs")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -239,9 +272,10 @@ def main():
     scfg, run_batch, flow_scope = solver_from_config(cfg)
     timers = Timers()
     key = jax.random.key(args.seed)
-    use_fast = args.fast and cfg.get("deformation_model", "NDP") == "NDP"
+    model = cfg.get("deformation_model", "NDP")
+    use_fast = args.fast and model in ("NDP", "NSFP", "Nerfies")
     if use_fast:
-        solve_fixed, warp_metrics, warp_bucket = make_fast_ndp(scfg)
+        solve_fixed, warp_metrics, warp_bucket = make_fast_solver(model, scfg)
 
     for split in args.splits:
         ds = FourDMatchDataset(cfg.data_root, split)
@@ -421,12 +455,12 @@ def main():
                 if i + look_ahead < n_entries:
                     futs.append(pool.submit(prep, i + look_ahead))
                 # args.seed folds into pid so --seed changes solver RNG too
-                params, _stats = solve_fixed(
+                state = solve_fixed(
                     np.int32((pid + args.seed) & 0x7FFFFFFF), st_packed)
-                out = warp_metrics(params, packed, delta_mean)
+                out = warp_metrics(state, packed, delta_mean)
                 vis = None
                 if args.visualize:
-                    vis = (pair, warp_bucket(params, packed), ns,
+                    vis = (pair, warp_bucket(state, packed), ns,
                            pair.tgt.mean(0))
                 timers.toc("dispatch")
                 pending.append((pair.name, out, vis))

@@ -63,15 +63,11 @@ class NSFPSolverConfig:
     use_pallas: bool | None = None
 
 
-def register_nsfp(key: Array, src: Array, tgt: Array, cfg: NSFPSolverConfig,
-                  src_valid: Array | None = None, tgt_valid: Array | None = None):
-    """Fit a Neural Prior flow field; returns (warped full cloud, stats)."""
-    n, m = src.shape[0], tgt.shape[0]
-    src_valid = jnp.ones((n,), bool) if src_valid is None else src_valid
-    tgt_valid = jnp.ones((m,), bool) if tgt_valid is None else tgt_valid
-    k_init, k_sample = jax.random.split(key)
-    src_c, tgt_c, _, tgt_mean, s_sample, s_valid, t_sample, t_valid = \
-        _center_and_sample(k_sample, src, tgt, src_valid, tgt_valid, cfg.samples)
+def optimize_nsfp(k_init: Array, s_sample: Array, s_valid: Array,
+                  t_sample: Array, t_valid: Array, cfg: NSFPSolverConfig):
+    """Fixed-shape NSFP core on pre-centered, pre-sampled points ->
+    (params, stats) — shares one compiled program across a sweep (see
+    ``cli/eval_nolearned.py`` fast path)."""
     params = init_nsfp_params(k_init, cfg.net)
 
     def loss_fn(p, it, k):
@@ -85,6 +81,20 @@ def register_nsfp(key: Array, src: Array, tgt: Array, cfg: NSFPSolverConfig,
                       max_break_count=cfg.max_break_count,
                       break_threshold_ratio=cfg.break_threshold_ratio)
     params, _, stats = run_adam_loop(loss_fn, params, lcfg)
+    return params, stats
+
+
+def register_nsfp(key: Array, src: Array, tgt: Array, cfg: NSFPSolverConfig,
+                  src_valid: Array | None = None, tgt_valid: Array | None = None):
+    """Fit a Neural Prior flow field; returns (warped full cloud, stats)."""
+    n, m = src.shape[0], tgt.shape[0]
+    src_valid = jnp.ones((n,), bool) if src_valid is None else src_valid
+    tgt_valid = jnp.ones((m,), bool) if tgt_valid is None else tgt_valid
+    k_init, k_sample = jax.random.split(key)
+    src_c, tgt_c, _, tgt_mean, s_sample, s_valid, t_sample, t_valid = \
+        _center_and_sample(k_sample, src, tgt, src_valid, tgt_valid, cfg.samples)
+    params, stats = optimize_nsfp(k_init, s_sample, s_valid, t_sample,
+                                  t_valid, cfg)
     warped_full = src_c + nsfp_flow(params, src_c, cfg.net) + tgt_mean
     return warped_full, stats
 
@@ -105,15 +115,13 @@ class NerfiesSolverConfig:
     use_pallas: bool | None = None
 
 
-def register_nerfies(key: Array, src: Array, tgt: Array, cfg: NerfiesSolverConfig,
-                     src_valid: Array | None = None, tgt_valid: Array | None = None):
-    """Nerfies SE(3)-field warp with elastic log-SVD regularizer."""
-    n, m = src.shape[0], tgt.shape[0]
-    src_valid = jnp.ones((n,), bool) if src_valid is None else src_valid
-    tgt_valid = jnp.ones((m,), bool) if tgt_valid is None else tgt_valid
-    k_init, k_sample = jax.random.split(key)
-    src_c, tgt_c, _, tgt_mean, s_sample, s_valid, t_sample, t_valid = \
-        _center_and_sample(k_sample, src, tgt, src_valid, tgt_valid, cfg.samples)
+def optimize_nerfies(k_init: Array, s_sample: Array, s_valid: Array,
+                     t_sample: Array, t_valid: Array,
+                     cfg: NerfiesSolverConfig):
+    """Fixed-shape Nerfies core -> (params, stats); the final full-cloud
+    warp must use ``stats['iters'] - 1`` as the posenc-window iteration
+    (reference ``registration.py:333`` uses the loop variable left by the
+    break)."""
     net = dataclasses.replace(cfg.net, max_iter=cfg.iters)
     params = init_nerfies_params(k_init, net)
 
@@ -130,8 +138,22 @@ def register_nerfies(key: Array, src: Array, tgt: Array, cfg: NerfiesSolverConfi
                       max_break_count=cfg.max_break_count,
                       break_threshold_ratio=cfg.break_threshold_ratio)
     params, _, stats = run_adam_loop(loss_fn, params, lcfg)
+    return params, stats
+
+
+def register_nerfies(key: Array, src: Array, tgt: Array, cfg: NerfiesSolverConfig,
+                     src_valid: Array | None = None, tgt_valid: Array | None = None):
+    """Nerfies SE(3)-field warp with elastic log-SVD regularizer."""
+    n, m = src.shape[0], tgt.shape[0]
+    src_valid = jnp.ones((n,), bool) if src_valid is None else src_valid
+    tgt_valid = jnp.ones((m,), bool) if tgt_valid is None else tgt_valid
+    k_init, k_sample = jax.random.split(key)
+    src_c, tgt_c, _, tgt_mean, s_sample, s_valid, t_sample, t_valid = \
+        _center_and_sample(k_sample, src, tgt, src_valid, tgt_valid, cfg.samples)
+    params, stats = optimize_nerfies(k_init, s_sample, s_valid, t_sample,
+                                     t_valid, cfg)
+    net = dataclasses.replace(cfg.net, max_iter=cfg.iters)
     # final full-cloud warp at the last *executed* iteration index
-    # (registration.py:333 uses the loop variable left by the break)
     last_it = jnp.maximum(stats["iters"] - 1, 0)
     warped_full = nerfies_warp(params, src_c, last_it, net) + tgt_mean
     return warped_full, stats

@@ -59,6 +59,8 @@ def test_dataset_reader_and_batcher(tmp_path):
     ("config/NDP.yaml", ["--visualize"]),                      # fast path
     ("config/NDP.yaml", ["--no-fast", "--stream", "--depth", "2"]),
     ("config/NDP.yaml", ["--no-fast"]),                        # legacy batch
+    ("config/baselines/NSFP.yaml", []),                        # fast path
+    ("config/baselines/Nerfies.yaml", []),                     # fast path
     ("config/baselines/Sinkhorn.yaml", []),
 ])
 def test_eval_cli_runs(tmp_path, config, extra):
