@@ -210,6 +210,12 @@ def _metrics_jit(flow, flow_gt, overlap, valid):
     return compute_flow_metrics(flow, flow_gt, overlap=overlap, valid=valid)
 
 
+@jax.jit
+def _metrics_vec_jit(flow, flow_gt, overlap, valid):
+    m = compute_flow_metrics(flow, flow_gt, overlap=overlap, valid=valid)
+    return jnp.stack([m[k] for k in METRIC_KEYS])
+
+
 def main():
     from ..utils.compilation_cache import enable as _enable_cache
     _enable_cache()
@@ -241,6 +247,12 @@ def main():
                          "solver program + bucketed warp/metrics; "
                          "NDP/NSFP/Nerfies) and use legacy per-bucket "
                          "solver programs")
+    ap.add_argument("--host-metrics", action="store_true",
+                    help="fetch only the ~150 KB pyramid params per pair "
+                         "and run the full-cloud warp + metrics on the "
+                         "host (numpy) — ~5x fewer tunnel bytes than the "
+                         "on-device warp/metrics program; use when the "
+                         "shared link is congested (NDP fast path only)")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -274,8 +286,22 @@ def main():
     key = jax.random.key(args.seed)
     model = cfg.get("deformation_model", "NDP")
     use_fast = args.fast and model in ("NDP", "NSFP", "Nerfies")
+    host_metrics = False
     if use_fast:
         solve_fixed, warp_metrics, warp_bucket = make_fast_solver(model, scfg)
+        host_metrics = args.host_metrics and model == "NDP"
+        if host_metrics:
+            from jax import flatten_util as _flatten_util
+
+            from ..models.pyramid import init_pyramid_params, warp_numpy
+
+            with jax.default_device(_metric_device()):
+                _tmpl = init_pyramid_params(jax.random.key(0), scfg.pyramid)
+                _, unravel_params = _flatten_util.ravel_pytree(_tmpl)
+            flat_params = jax.jit(
+                lambda state: _flatten_util.ravel_pytree(state[0])[0])
+        elif args.host_metrics:
+            print("[warn] --host-metrics is NDP-only; using device metrics")
 
     for split in args.splits:
         ds = FourDMatchDataset(cfg.data_root, split)
@@ -390,8 +416,25 @@ def main():
         def harvest_fast(item):
             """Sync one pair's packed metric vector and fold into meters."""
             nonlocal n_done
-            name, out, vis = item
-            vals = np.asarray(out)  # ONE device->host fetch for all metrics
+            name, out, vis, host_data = item
+            host_warped = None
+            if host_data is not None:
+                # --host-metrics: one ~150 KB flat-param fetch, then the
+                # full-cloud warp + metrics run host-side (numpy warp +
+                # CPU-jitted metrics at the padded bucket shape)
+                packed, delta = host_data
+                params_np = jax.tree.map(
+                    np.asarray, unravel_params(np.asarray(out)))
+                host_warped = warp_numpy(params_np, packed[:, :3],
+                                         scfg.pyramid)
+                flow = host_warped - packed[:, :3] + np.asarray(delta)
+                code = packed[:, 6]
+                with jax.default_device(_metric_device()):
+                    vals = np.asarray(_metrics_vec_jit(
+                        jnp.array(flow), jnp.array(packed[:, 3:6]),
+                        jnp.array(code > 0.5), jnp.array(code > -0.5)))
+            else:
+                vals = np.asarray(out)  # ONE device->host fetch, all metrics
             row = dict(zip(METRIC_KEYS, (float(v) for v in vals)))
             for k2, v in row.items():
                 meters.setdefault(k2, AverageMeter()).update(v)
@@ -399,6 +442,8 @@ def main():
             if vis is not None:
                 from ..utils.vis import visualize_pcds
                 pair, warped_c, ns, tgt_mean = vis
+                if warped_c is None:  # host-metrics mode
+                    warped_c = host_warped
                 visualize_pcds(
                     os.path.join(snap_dir, f"{split}-{n_done:04d}.png"),
                     src_pcd=pair.src, tgt_pcd=pair.tgt,
@@ -439,6 +484,11 @@ def main():
                 packed[:ns, :3] = pair.src - src_mean
                 packed[:ns, 3:6] = pair.flow_gt
                 packed[:ns, 6] = pair.overlap.astype(np.float32)
+                if host_metrics:
+                    # warp+metrics stay host-side: don't ship the big
+                    # [N, 7] block to the device at all
+                    return (pair, pid, jnp.array(st_packed), packed, ns,
+                            tgt_mean - src_mean)
                 return (pair, pid, jnp.array(st_packed), jnp.array(packed),
                         ns, jnp.array(tgt_mean - src_mean))
 
@@ -457,13 +507,21 @@ def main():
                 # args.seed folds into pid so --seed changes solver RNG too
                 state = solve_fixed(
                     np.int32((pid + args.seed) & 0x7FFFFFFF), st_packed)
-                out = warp_metrics(state, packed, delta_mean)
+                if host_metrics:
+                    out = flat_params(state)
+                    host_data = (packed, delta_mean)
+                else:
+                    out = warp_metrics(state, packed, delta_mean)
+                    host_data = None
                 vis = None
-                if args.visualize:
+                if args.visualize and not host_metrics:
                     vis = (pair, warp_bucket(state, packed), ns,
                            pair.tgt.mean(0))
+                elif args.visualize:
+                    # host mode renders from the host-side warp at harvest
+                    vis = (pair, None, ns, pair.tgt.mean(0))
                 timers.toc("dispatch")
-                pending.append((pair.name, out, vis))
+                pending.append((pair.name, out, vis, host_data))
                 if len(pending) > args.depth:
                     timers.tic("harvest")
                     harvest_fast(pending.pop(0))

@@ -176,6 +176,52 @@ def level_warp(p: dict[str, Any], x: Array, level: Array | int,
     return x_, nonrigidity
 
 
+def warp_numpy(params, x, cfg: NDPConfig):
+    """Host-side (numpy) full-pyramid warp, mirroring :func:`warp`.
+
+    Used by the eval fast path's ``--host-metrics`` mode: when the
+    tunneled chip's link is congested, fetching the ~150 KB param tree and
+    warping the full cloud on the host is ~5x fewer bytes than shipping
+    [N, 7] metric blocks up and running the warp on-device
+    (``cli/eval_nolearned.py``). SE3/Sim3/sflow + axis_angle only (the
+    benchmark configs); parity with :func:`level_warp` is pinned by
+    ``tests/test_pyramid.py``.
+    """
+    import numpy as np
+
+    assert cfg.rotation_format == "axis_angle" and not cfg.nonrigidity_est
+    x = np.asarray(x, np.float32)
+    p = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+         for k, v in params.items()}
+    for lvl in range(cfg.m):
+        freq = np.float32(2.0 ** (lvl + 1 + cfg.k0))
+        s, c = np.sin(x * freq), np.cos(x * freq)
+        fea = np.stack([s[:, 0], c[:, 0], s[:, 1], c[:, 1],
+                        s[:, 2], c[:, 2]], axis=-1)
+        fea = np.maximum(fea @ p["input"]["w"][lvl] + p["input"]["b"][lvl], 0.0)
+        for h in range(p["hidden"]["w"].shape[1]):
+            fea = np.maximum(fea @ p["hidden"]["w"][lvl, h]
+                             + p["hidden"]["b"][lvl, h], 0.0)
+        t = cfg.mlp_scale * (fea @ p["trn"]["w"][lvl] + p["trn"]["b"][lvl])
+        if cfg.motion == "sflow":
+            x = x + t
+            continue
+        r = cfg.mlp_scale * (fea @ p["rot"]["w"][lvl] + p["rot"]["b"][lvl])
+        theta = np.sqrt(np.maximum((r * r).sum(-1, keepdims=True), 1e-12))
+        w = r / theta
+        sn, cs = np.sin(theta), np.cos(theta)
+        wxx = np.cross(w, x)
+        wdx = (w * x).sum(-1, keepdims=True)
+        rx = x + sn * wxx + (1.0 - cs) * (w * wdx - x)
+        if cfg.motion == "Sim3":
+            sc = cfg.mlp_scale * (fea @ p["scale"]["w"][lvl]
+                                  + p["scale"]["b"][lvl]) + 1.0
+            x = sc * rx + t
+        else:
+            x = rx + t
+    return x
+
+
 def posenc_t(xt: Array, level: Array | int, k0: int) -> Array:
     """:func:`posenc` for the transposed [3, N] layout -> [6, N].
 

@@ -57,6 +57,7 @@ def test_dataset_reader_and_batcher(tmp_path):
 
 @pytest.mark.parametrize("config,extra", [
     ("config/NDP.yaml", ["--visualize"]),                      # fast path
+    ("config/NDP.yaml", ["--host-metrics", "--visualize"]),    # host warp
     ("config/NDP.yaml", ["--no-fast", "--stream", "--depth", "2"]),
     ("config/NDP.yaml", ["--no-fast"]),                        # legacy batch
     ("config/baselines/NSFP.yaml", []),                        # fast path

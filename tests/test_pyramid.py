@@ -144,3 +144,17 @@ def test_transposed_solver_path_matches_metrics():
         outs.append((np.asarray(w), np.asarray(st["loss"])))
     assert np.abs(outs[0][0] - outs[1][0]).max() < 2e-2
     assert np.allclose(outs[0][1], outs[1][1], atol=5e-3)
+
+
+def test_warp_numpy_matches_device_warp():
+    """Host-side numpy full warp (eval --host-metrics mode) reproduces the
+    compiled warp for SE3/Sim3/sflow axis-angle configs."""
+    from deformationpyramid_tpu.models.pyramid import warp, warp_numpy
+
+    for motion in ("SE3", "Sim3", "sflow"):
+        cfg = NDPConfig(m=3, k0=-4, depth=3, width=32, motion=motion)
+        params = init_pyramid_params(jax.random.key(11), cfg)
+        x = _points(seed=12, n=300)
+        ref, _ = warp(params, x, cfg)
+        out = warp_numpy(params, np.asarray(x), cfg)
+        assert np.abs(out - np.asarray(ref)).max() < 1e-5, motion
