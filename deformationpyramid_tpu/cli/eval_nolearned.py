@@ -422,12 +422,21 @@ def main():
                 # --host-metrics: one ~150 KB flat-param fetch, then the
                 # full-cloud warp + metrics run host-side (numpy warp +
                 # CPU-jitted metrics at the padded bucket shape)
-                packed, delta = host_data
-                params_np = jax.tree.map(
-                    np.asarray, unravel_params(np.asarray(out)))
-                host_warped = warp_numpy(params_np, packed[:, :3],
+                packed, delta, ns_h = host_data
+                flat_np = np.asarray(out)  # the ONLY device fetch
+                with jax.default_device(_metric_device()):
+                    # unravel on the LOCAL CPU — without the device pin the
+                    # rebuilt leaves land on the tunneled TPU and each
+                    # np.asarray below becomes a round trip (measured 4x
+                    # slower than the device-metrics path it should beat)
+                    params_np = jax.tree.map(
+                        np.asarray, unravel_params(flat_np))
+                # warp only the true rows; pad rows keep zero flow
+                host_warped = warp_numpy(params_np, packed[:ns_h, :3],
                                          scfg.pyramid)
-                flow = host_warped - packed[:, :3] + np.asarray(delta)
+                flow = np.zeros((len(packed), 3), np.float32)
+                flow[:ns_h] = (host_warped - packed[:ns_h, :3]
+                               + np.asarray(delta))
                 code = packed[:, 6]
                 with jax.default_device(_metric_device()):
                     vals = np.asarray(_metrics_vec_jit(
@@ -509,7 +518,7 @@ def main():
                     np.int32((pid + args.seed) & 0x7FFFFFFF), st_packed)
                 if host_metrics:
                     out = flat_params(state)
-                    host_data = (packed, delta_mean)
+                    host_data = (packed, delta_mean, ns)
                 else:
                     out = warp_metrics(state, packed, delta_mean)
                     host_data = None
