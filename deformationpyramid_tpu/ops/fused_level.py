@@ -223,6 +223,259 @@ def _fused_bwd(mlp_scale, interpret, args, g):
 _fused_level_warp.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Transposed [3, N] fused kernels
+#
+# The untransposed kernels above are measured ~neutral vs XLA: every [N, 3]
+# temporary inside the kernel pads 3 -> 128 lanes, so 125/128 of each VPU
+# tile idles through the whole posenc/Rodrigues chain (fwd AND the vjp).
+# Flipping the layout at the XLA level (models.pyramid.level_warp_t) was
+# ALSO neutral — XLA's layout assignment already re-layouts internally. But
+# inside Pallas the layout is ours: with N on the 128-lane axis and the 3
+# coordinate rows on sublanes, every elementwise op runs at 16x the lane
+# utilization ([3, N] = 3/8 sublanes vs [N, 3] = 3/128 lanes) and the
+# hidden matmuls become [width, width] @ [width, N] — clean MXU shapes.
+# Weights/biases are pre-transposed OUTSIDE the custom_vjp boundary so jax
+# chains those (tiny, once-per-iteration) transposes automatically.
+# ---------------------------------------------------------------------------
+
+
+def _rolls() -> tuple[Array, Array]:
+    """[3, 3] left-roll permutation matrices: (P1 @ a)[i] = a[(i+1) % 3]."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+    p1 = (cols == (rows + 1) % 3).astype(jnp.float32)
+    p2 = (cols == (rows + 2) % 3).astype(jnp.float32)
+    return p1, p2
+
+
+def _cross_t(a: Array, b: Array) -> Array:
+    """Row-axis cross product for [3, N] operands via left roll-matmuls."""
+    p1, p2 = _rolls()
+    a1 = _dot(p1, a)
+    a2 = _dot(p2, a)
+    b1 = _dot(p1, b)
+    b2 = _dot(p2, b)
+    return a1 * b2 - a2 * b1
+
+
+def _dot(a: Array, b: Array) -> Array:
+    """In-kernel f32 matmul at Precision.HIGHEST.
+
+    Inside Mosaic, ``jnp.dot``'s DEFAULT precision is a single bf16 MXU
+    pass (unlike XLA outside the kernel, where f32 dots are ~f32-accurate).
+    That 4e-3 relative rounding, amplified by the rot path's 1e-3-scale
+    values and the 1/theta factor in the Rodrigues vjp, produced O(1)
+    relative error on the rot-head gradients — measured natively while
+    interpret mode was exact. Every in-kernel dot therefore pins HIGHEST;
+    the kernel is latency/HBM-bound, not MXU-bound, so the extra passes
+    are cheap (see docs/PERFORMANCE.md round-3).
+    """
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+
+
+_WIDE_MODE = "bf16x3"  # "bf16x3" | "default" | "highest" (A/B knob)
+
+
+def _dot_wide(a: Array, b: Array) -> Array:
+    """In-kernel matmul for the width-sized layers at ~bf16x3 fidelity.
+
+    Mosaic supports only DEFAULT (one bf16 MXU pass, ~4e-3 relative) and
+    HIGHEST (six passes) — ``Precision.HIGH`` raises NotImplementedError —
+    so the 3-pass scheme is built manually: split each operand into its
+    bf16 high part and the f32 remainder and sum three single-pass
+    products (the lo*lo term is below f32 epsilon). ~f32 fidelity at half
+    HIGHEST's MXU passes. The [3, x] dots stay HIGHEST — their values are
+    mlp_scale (1e-3) sized and the Rodrigues vjp multiplies by 1/theta ~
+    1e3, so single-pass rounding there blew up to O(1) gradient error
+    (see :func:`_dot`).
+    """
+    if _WIDE_MODE == "highest":
+        return _dot(a, b)
+    if _WIDE_MODE == "default":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_lo = b - b_hi
+
+    def d(u, v):
+        return jnp.dot(u, v, preferred_element_type=jnp.float32)
+
+    return d(a_hi, b_lo) + d(a_lo, b_hi) + d(a_hi, b_hi)
+
+
+def _forward_math_t(xt, freq, w_sin_t, w_cos_t, b_in_t, wh_t, bh_t,
+                    w_rot_t, b_rot_t, w_trn_t, b_trn_t, mlp_scale: float):
+    """Transposed :func:`_forward_math`: [3, N] points, [out, in] weights,
+    [out, 1] biases. Same math/quirks (posenc without pi, mlp_scale,
+    1e-12 norm floor); parity pinned by tests/test_fused_level.py."""
+    s = jnp.sin(xt * freq)
+    c = jnp.cos(xt * freq)
+    h = _dot_wide(w_sin_t, s) + _dot_wide(w_cos_t, c) + b_in_t
+    h = jnp.maximum(h, 0.0)
+    for l in range(wh_t.shape[0]):
+        h = jnp.maximum(_dot_wide(wh_t[l], h) + bh_t[l], 0.0)
+    r = mlp_scale * (_dot(w_rot_t, h) + b_rot_t)
+    t = mlp_scale * (_dot(w_trn_t, h) + b_trn_t)
+    theta = jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=0, keepdims=True),
+                                 1e-12))
+    w = r / theta
+    st = jnp.sin(theta)
+    ct = jnp.cos(theta)
+    wxx = _cross_t(w, xt)
+    wdx = jnp.sum(w * xt, axis=0, keepdims=True)
+    return xt + st * wxx + (1.0 - ct) * (w * wdx - xt) + t
+
+
+def _fwd_kernel_t(freq_ref, xt_ref, *param_refs, mlp_scale: float):
+    out_ref = param_refs[-1]
+    out_ref[:] = _forward_math_t(
+        xt_ref[:], freq_ref[0, 0], *[r[:] for r in param_refs[:-1]],
+        mlp_scale)
+
+
+def _bwd_kernel_t(freq_ref, xt_ref, *refs, mlp_scale: float):
+    """Grid over N lane-tiles; recomputes the forward per tile under
+    jax.vjp and accumulates parameter gradients into resident outputs."""
+    n_params = 9
+    param_refs = refs[:n_params]
+    g_ref = refs[n_params]
+    grad_refs = refs[n_params + 1:]
+    i = pl.program_id(0)
+    xt = xt_ref[:]
+    freq = freq_ref[0, 0]
+
+    def f(*params):
+        return _forward_math_t(xt, freq, *params, mlp_scale)
+
+    _, vjp = jax.vjp(f, *[r[:] for r in param_refs])
+    grads = vjp(g_ref[:])
+
+    @pl.when(i == 0)
+    def _():
+        for ref, g in zip(grad_refs, grads):
+            ref[:] = g
+
+    @pl.when(i > 0)
+    def _():
+        for ref, g in zip(grad_refs, grads):
+            ref[:] = ref[:] + g
+
+
+def _call_fwd_t(args, mlp_scale: float, interpret: bool):
+    kernel = functools.partial(_fwd_kernel_t, mlp_scale=mlp_scale)
+    xt = args[1]
+    if interpret:
+        in_specs = [pl.BlockSpec() for _ in args]
+        out_specs = pl.BlockSpec()
+    else:
+        in_specs = ([pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                    * (len(args) - 1))
+        out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(xt.shape, jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(*args)
+
+
+_BWD_TN = 1024  # bwd lane-tile; module knob so A/B scripts can sweep it
+
+
+def _call_bwd_t(args, g, mlp_scale: float, interpret: bool,
+                tn: int | None = None):
+    kernel = functools.partial(_bwd_kernel_t, mlp_scale=mlp_scale)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                 for a in args[2:]]
+    xt = args[1]
+    n = xt.shape[1]
+    tn = min(tn or _BWD_TN, n)
+    n_pad = -(-n // tn) * tn
+    if n_pad != n:
+        # zero cotangent columns contribute exactly zero gradient (the vjp
+        # is linear in g), so lane padding is correctness-free
+        xt = jnp.zeros((3, n_pad), xt.dtype).at[:, :n].set(xt)
+        g = jnp.zeros((3, n_pad), g.dtype).at[:, :n].set(g)
+        args = args[:1] + (xt,) + args[2:]
+    inputs = args + (g,)
+    grid = (n_pad // tn,)
+    mem = {} if interpret else {"memory_space": pltpu.VMEM}
+    smem = {} if interpret else {"memory_space": pltpu.SMEM}
+
+    def const(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i: (0,) * nd, **mem)
+
+    in_specs = (
+        [pl.BlockSpec((1, 1), lambda i: (0, 0), **smem)]
+        + [pl.BlockSpec((3, tn), lambda i: (0, i), **mem)]        # xt
+        + [const(a) for a in args[2:]]                             # params
+        + [pl.BlockSpec((3, tn), lambda i: (0, i), **mem)]        # g
+    )
+    out_specs = [const(a) for a in args[2:]]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(*inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _fused_level_warp_t(freq, xt, w_sin_t, w_cos_t, b_in_t, wh_t, bh_t,
+                        w_rot_t, b_rot_t, w_trn_t, b_trn_t, mlp_scale,
+                        interpret):
+    return _call_fwd_t(
+        (freq, xt, w_sin_t, w_cos_t, b_in_t, wh_t, bh_t, w_rot_t, b_rot_t,
+         w_trn_t, b_trn_t), mlp_scale, interpret)
+
+
+def _fused_fwd_t(freq, xt, w_sin_t, w_cos_t, b_in_t, wh_t, bh_t, w_rot_t,
+                 b_rot_t, w_trn_t, b_trn_t, mlp_scale, interpret):
+    args = (freq, xt, w_sin_t, w_cos_t, b_in_t, wh_t, bh_t, w_rot_t,
+            b_rot_t, w_trn_t, b_trn_t)
+    return _call_fwd_t(args, mlp_scale, interpret), args
+
+
+def _fused_bwd_t(mlp_scale, interpret, args, g):
+    grads = _call_bwd_t(args, g, mlp_scale, interpret)
+    return (jnp.zeros_like(args[0]), jnp.zeros_like(args[1])) + tuple(grads)
+
+
+_fused_level_warp_t.defvjp(_fused_fwd_t, _fused_bwd_t)
+
+
+def fused_level_warp_t(p: dict, xt: Array, level: Array, cfg,
+                       interpret: bool | None = None) -> Array:
+    """Transposed fused level warp: [3, N] points in, [3, N] warped out.
+
+    Drop-in for ``models.pyramid.level_warp_t`` on configs where
+    :func:`supports_fused` holds. Differentiable wrt the params (``xt``
+    gets zero gradient — the solver optimizes one level on detached
+    points). The weight transposes here sit outside the custom_vjp, so
+    their adjoints are chained by jax at negligible ([width, width] once
+    per iteration) cost.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    freq = jnp.exp2(jnp.asarray(level, jnp.float32) + 1.0 + cfg.k0)
+    freq = freq.reshape(1, 1)
+    w_in = p["input"]["w"].reshape(3, 2, -1)
+    return _fused_level_warp_t(
+        freq, xt, w_in[:, 0].T, w_in[:, 1].T, p["input"]["b"].reshape(-1, 1),
+        jnp.swapaxes(p["hidden"]["w"], -1, -2), p["hidden"]["b"][..., None],
+        p["rot"]["w"].T, p["rot"]["b"].reshape(-1, 1),
+        p["trn"]["w"].T, p["trn"]["b"].reshape(-1, 1),
+        cfg.mlp_scale, interpret)
+
+
 def supports_fused(cfg) -> bool:
     """Fused path covers the benchmark config (SE3 + axis_angle, no
     nonrigidity gate)."""

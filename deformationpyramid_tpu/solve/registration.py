@@ -35,7 +35,9 @@ from ..models.pyramid import (
 from .loop import LoopConfig, run_adam_loop
 from ..ops.chamfer import truncated_chamfer
 from ..ops.chamfer_fused import chamfer_l1_fused
-from ..ops.fused_level import fused_level_warp, supports_fused
+from ..ops.fused_level import (
+    fused_level_warp, fused_level_warp_t, supports_fused,
+)
 
 Array = jax.Array
 
@@ -96,8 +98,14 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
     # every [N, 3] tensor pads to 128 lanes inside the kernel. Kept for
     # experimentation and as the base of the fully-fused iteration kernel.
     fused = bool(cfg.use_fused) and supports_fused(pcfg) and cfg.w_reg == 0
+    # transposed + fused => the [3, N]-internal kernel: N on the lane axis
+    # inside the kernel, so the Rodrigues/posenc chain runs at 3/8-sublane
+    # utilization instead of 3/128-lane (the untransposed kernel's flaw)
+    fused_t = fused and bool(cfg.transposed)
+    fused = fused and not fused_t
     fused_cd = bool(cfg.use_fused_chamfer)
-    use_t = bool(cfg.transposed) and not pcfg.nonrigidity_est and not fused
+    use_t = (bool(cfg.transposed) and not pcfg.nonrigidity_est
+             and not fused and not fused_t)
 
     def chamfer(wx, wv):
         """Truncated chamfer vs the fixed target sample; the fused kernel
@@ -110,10 +118,12 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
                                  trunc=1e9 if n_ldmk == 0 else cfg.trunc_cd,
                                  use_pallas=cfg.use_pallas)
 
-    pts_t = pts.T if use_t else None
+    pts_t = pts.T if (use_t or fused_t) else None
 
     def loss_fn(p):
-        if use_t:
+        if fused_t:
+            warped, nr = fused_level_warp_t(p, pts_t, lvl, pcfg).T, None
+        elif use_t:
             # [3, N] compute chain; one transpose back for the chamfer
             # kernel + row slicing (same math, full VPU tiles)
             warped, nr = level_warp_t(p, pts_t, lvl, pcfg).T, None

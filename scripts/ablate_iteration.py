@@ -33,18 +33,49 @@ CFG = NDPConfig(m=9, k0=-8, depth=3, width=128,
                 rotation_format="axis_angle", motion="SE3")
 
 
+_RTT_MS = 0.0  # set in main(): empty-body harness wall (tunnel round trip)
+
+
 def timeit(name, fn, *args):
+    """Report (wall - harness RTT) / ITERS.
+
+    The raw wall of one synced call includes a ~27 ms tunnel round trip
+    (measured: an EMPTY ``c + 1.0`` fori body costs the same 0.067
+    ms/iter at ITERS=400 as a 20-op body — the 'floor' is np.asarray's
+    fetch latency amortized, not device time). Earlier rounds' absolute
+    numbers carried that +0.067 additive constant; ratios survived, the
+    component attribution did not (docs/PERFORMANCE.md round-3).
+    """
     out = fn(*args)
     np.asarray(jax.tree.leaves(out)[0])  # compile + sync
     t0 = time.perf_counter()
     out = fn(*args)
     np.asarray(jax.tree.leaves(out)[0])
-    dt = (time.perf_counter() - t0) / ITERS * 1e3
-    print(f"{name:34s} {dt:8.4f} ms/iter")
+    raw = (time.perf_counter() - t0) * 1e3
+    dt = (raw - _RTT_MS) / ITERS
+    print(f"{name:34s} {dt:8.4f} ms/iter   (raw {raw / ITERS:.4f})")
     return dt
 
 
 def main():
+    global _RTT_MS
+
+    # calibrate the harness/tunnel constant with an empty loop body
+    @jax.jit
+    def empty(c):
+        return jax.lax.fori_loop(0, ITERS, lambda i, c: c + 1.0, c)
+
+    z = jnp.zeros((3, 2048), jnp.float32)
+    np.asarray(empty(z))
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(empty(z))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    _RTT_MS = sorted(rtts)[1]
+    print(f"harness RTT baseline: {_RTT_MS:.2f} ms "
+          f"({_RTT_MS / ITERS:.4f} ms/iter additive)")
+
     srcs, tgts, _ = make_batch(B, n=N, seed=0, deform=0.12)
     x = jnp.array(srcs)
     y = jnp.array(tgts)
@@ -181,6 +212,93 @@ def main():
         return jax.vmap(one)(fb, xb, yb)
 
     timeit("full loss fwd+bwd [3,N]", full_fwdbwd_t, flat_b, x, y)
+
+    # ---- 8. fused level-warp Pallas kernel variants (ops/fused_level)
+    from deformationpyramid_tpu.ops.fused_level import fused_level_warp
+
+    @jax.jit
+    def fused_fwd(xb):
+        def one(x1):
+            def body(i, c):
+                w = fused_level_warp(unravel(flat0), c, lvl, CFG)
+                return c + 1e-9 * w
+            return jax.lax.fori_loop(0, ITERS, body, x1)
+        return jax.vmap(one)(xb)
+
+    timeit("fused warp fwd", fused_fwd, x)
+
+    @jax.jit
+    def fused_fwdbwd(fb, xb):
+        def one(f, x1):
+            def loss(fl):
+                w = fused_level_warp(unravel(fl), x1, lvl, CFG)
+                return jnp.sum(w * w)
+            def body(i, c):
+                g = jax.grad(loss)(c)
+                return c + 1e-9 * g
+            return jax.lax.fori_loop(0, ITERS, body, f)
+        return jax.vmap(one)(fb, xb)
+
+    timeit("fused warp fwd+bwd", fused_fwdbwd, flat_b, x)
+
+    @jax.jit
+    def full_fwdbwd_fused(fb, xb, yb):
+        def one(f, x1, y1):
+            def loss(fl):
+                w = fused_level_warp(unravel(fl), x1, lvl, CFG)
+                return truncated_chamfer(w, y1, use_pallas=True)
+            def body(i, c):
+                g = jax.grad(loss)(c)
+                return c + 1e-9 * g
+            return jax.lax.fori_loop(0, ITERS, body, f)
+        return jax.vmap(one)(fb, xb, yb)
+
+    timeit("full loss fwd+bwd (fused warp)", full_fwdbwd_fused, flat_b, x, y)
+
+    # ---- 8b. transposed [3, N]-internal fused kernel variants
+    from deformationpyramid_tpu.ops.fused_level import fused_level_warp_t
+
+    @jax.jit
+    def fused_t_fwd(xb):
+        def one(x1):
+            xt = x1.T
+            def body(i, c):
+                w = fused_level_warp_t(unravel(flat0), c, lvl, CFG)
+                return c + 1e-9 * w
+            return jax.lax.fori_loop(0, ITERS, body, xt)
+        return jax.vmap(one)(xb)
+
+    timeit("fused_t warp fwd", fused_t_fwd, x)
+
+    @jax.jit
+    def fused_t_fwdbwd(fb, xb):
+        def one(f, x1):
+            xt = x1.T
+            def loss(fl):
+                w = fused_level_warp_t(unravel(fl), xt, lvl, CFG)
+                return jnp.sum(w * w)
+            def body(i, c):
+                g = jax.grad(loss)(c)
+                return c + 1e-9 * g
+            return jax.lax.fori_loop(0, ITERS, body, f)
+        return jax.vmap(one)(fb, xb)
+
+    timeit("fused_t warp fwd+bwd", fused_t_fwdbwd, flat_b, x)
+
+    @jax.jit
+    def full_fwdbwd_fused_t(fb, xb, yb):
+        def one(f, x1, y1):
+            xt = x1.T
+            def loss(fl):
+                w = fused_level_warp_t(unravel(fl), xt, lvl, CFG).T
+                return truncated_chamfer(w, y1, use_pallas=True)
+            def body(i, c):
+                g = jax.grad(loss)(c)
+                return c + 1e-9 * g
+            return jax.lax.fori_loop(0, ITERS, body, f)
+        return jax.vmap(one)(fb, xb, yb)
+
+    timeit("full loss fwd+bwd (fused_t)", full_fwdbwd_fused_t, flat_b, x, y)
 
     @jax.jit
     def full_iter_t(fb, xb, yb):
