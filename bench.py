@@ -46,6 +46,11 @@ CFG = SolverConfig(
     use_fused_chamfer=bool(int(os.environ.get("BENCH_FUSED_CD", "0"))) or None,
     transposed=(bool(int(os.environ["BENCH_TRANSPOSED"]))
                 if "BENCH_TRANSPOSED" in os.environ else None),
+    # Default ON for the benchmark config: same-session A/B measured
+    # 7.93 pairs/s @ 0.094 ms/iter (fused) vs 7.56 @ 0.106 (unfused) —
+    # docs/PERFORMANCE.md round-3. BENCH_FUSED_ITER=0 reverts.
+    use_fused_iteration=bool(int(os.environ.get("BENCH_FUSED_ITER", "1")))
+    or None,
 )
 
 

@@ -1,0 +1,441 @@
+"""Two-kernel fused solver iteration (Pallas).
+
+The NDP solver's per-iteration critical path at B=1 is a serial chain of
+~25 small dispatches (posenc -> MLP -> heads -> Rodrigues -> argmin sweep
+-> gathers -> loss -> backward -> Adam) for ~0.3 GFLOP — launch/latency
+bound, not bandwidth bound (docs/PERFORMANCE.md round-3 ablation). This
+module collapses the chain into TWO Pallas launches plus O(N) XLA glue:
+
+* **kernel 1** (:func:`_fwd_sweep_kernel`): the full level warp in the
+  [3, N] transposed layout (``ops/fused_level._forward_math_t``) feeding
+  straight into the v1 dual argmin sweep — the warped cloud never leaves
+  VMEM between the warp and the N x M distance tiles. Outputs: warped
+  points + both directions' (min, argmin).
+* **XLA glue** (:func:`_chamfer_glue`): the O(N) differentiable loss
+  rebuild from gathers — bit-identical math to
+  ``ops/chamfer._gathered_sum`` — with its analytic gradient wrt the
+  warped points (one gather + one scatter-add; XLA fuses the elementwise
+  chain around them).
+* **kernel 2** (:func:`_bwd_adam_kernel`): jax.vjp of the warp chain
+  (forward recomputed in VMEM, the ``ops/fused_level`` pattern) +
+  the optax-Adam update + the early-stop ``done`` gate, all in one
+  launch, so the parameter/moment tensors never round-trip HBM between
+  backward and update.
+
+Deliberately NOT fused: the chamfer gradient's in-sweep accumulation.
+Doing the scatter/gather work inside the distance sweep costs ~11 extra
+full passes over the [tm, N] blocks (measured round 2: the one-kernel
+chamfer-loss lost 1.6x for exactly this reason) while the O(N) glue is
+~launch-cost only.
+
+Semantics: matches ``solve/loop.run_adam_loop`` + ``truncated_chamfer``
+exactly (loss formula, 3-way early stop, pre-step aux handoff, optax Adam
+with bias correction); numerics differ only by f32 reassociation and the
+in-kernel bf16x3 wide matmuls (``ops/fused_level._dot_wide``). Parity is
+pinned by tests/test_fused_iteration.py. Covers the benchmark config
+(SE3 + axis_angle, no nonrigidity, chamfer mode — reference
+``config/NDP.yaml``, hot loop ``/root/reference/model/registration.py:
+184-238``); other configs use the unfused path.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU builds; keep module importable on CPU.
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+from .fused_level import _forward_math_t
+
+Array = jax.Array
+
+_BIG = 3.0e38
+_FLOOR = 1e-16  # sqrt floor, matches ops/chamfer._gathered_sum
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: level warp forward + dual argmin sweep
+# ---------------------------------------------------------------------------
+
+_N_PARAMS = 9  # w_sin_t, w_cos_t, b_in_t, wh_t, bh_t, w_rot_t, b_rot_t,
+#                w_trn_t, b_trn_t — the _forward_math_t parameter order
+
+
+def _fwd_sweep_kernel(freq_ref, xt_ref, xbig_ref, yc_ref, ysqb_ref,
+                      *refs, mlp_scale: float, tm: int, m_pad: int):
+    """Warp the level's points, then sweep distance tiles for both 1-NN
+    directions.
+
+    Layout: warped stays [3, N] (coordinate rows, N on lanes); the
+    distance block is [tm, N] — y's coordinate COLUMNS ([tm, 1] slices of
+    ``yc``) against warped's coordinate ROWS, so the per-y direction
+    reduces over lanes and the per-x direction over sublanes with a
+    cross-tile carry. Same selection semantics as ``ops/knn``'s v1 kernel
+    (exact-f32 FMA distances, first-index tie-break in both directions).
+
+    ``xbig``/``ysqb`` carry +BIG at padded/invalid entries so they never
+    win a min in either direction.
+    """
+    p_refs = refs[:_N_PARAMS]
+    warped_ref, cmin_ref, cidx_ref, rmin_ref, rarg_ref = refs[_N_PARAMS:]
+    xt = xt_ref[:]
+    freq = freq_ref[0, 0]
+    warped = _forward_math_t(xt, freq, *[r[:] for r in p_refs], mlp_scale)
+    warped_ref[:] = warped
+    w0 = warped[0:1, :]
+    w1 = warped[1:2, :]
+    w2 = warped[2:3, :]
+    wsq = w0 * w0 + w1 * w1 + w2 * w2 + xbig_ref[:]   # [1, N]
+    n_tiles = m_pad // tm
+
+    def body(j, carry):
+        cmin, cidx = carry                             # [1, N] running
+        sl = pl.ds(j * tm, tm)
+        y0 = yc_ref[sl, 0:1]                           # [tm, 1]
+        y1 = yc_ref[sl, 1:2]
+        y2 = yc_ref[sl, 2:3]
+        ysq = ysqb_ref[sl, 0:1]                        # [tm, 1]
+        d = ysq + wsq - 2.0 * (y0 * w0 + y1 * w1 + y2 * w2)  # [tm, N]
+
+        # per-y (x index over lanes): finished within this tile
+        rmin_t = jnp.min(d, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        rarg_t = jnp.min(jnp.where(d <= rmin_t, lane, jnp.int32(2**30)),
+                         axis=1, keepdims=True)
+        rmin_ref[sl, :] = jnp.maximum(rmin_t, 0.0)
+        rarg_ref[sl, :] = rarg_t
+
+        # per-x (y index over sublanes): cross-tile running min
+        cmin_t = jnp.min(d, axis=0, keepdims=True)
+        sub = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+        carg_t = jnp.min(jnp.where(d <= cmin_t, sub, jnp.int32(2**30)),
+                         axis=0, keepdims=True) + j * tm
+        better = cmin_t < cmin
+        return (jnp.where(better, cmin_t, cmin),
+                jnp.where(better, carg_t, cidx))
+
+    n_lanes = xt.shape[1]
+    init = (jnp.full((1, n_lanes), _BIG, jnp.float32),
+            jnp.zeros((1, n_lanes), jnp.int32))
+    cmin, cidx = jax.lax.fori_loop(0, n_tiles, body, init)
+    cmin_ref[:] = jnp.maximum(cmin, 0.0)
+    cidx_ref[:] = cidx
+
+
+@functools.partial(jax.jit, static_argnames=("mlp_scale", "tm", "interpret"))
+def _fwd_sweep_call(freq, xt_pad, xbig, yc_pad, ysqb, params_t,
+                    mlp_scale: float, tm: int, interpret: bool):
+    n_pad = xt_pad.shape[1]
+    m_pad = yc_pad.shape[0]
+    kernel = functools.partial(_fwd_sweep_kernel, mlp_scale=mlp_scale,
+                               tm=tm, m_pad=m_pad)
+    if interpret:
+        in_specs = [pl.BlockSpec()] * (5 + _N_PARAMS)
+        out_specs = [pl.BlockSpec()] * 5
+    else:
+        in_specs = ([pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                    * (4 + _N_PARAMS))
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+    out_shape = [
+        jax.ShapeDtypeStruct((3, n_pad), jnp.float32),   # warped
+        jax.ShapeDtypeStruct((1, n_pad), jnp.float32),   # cmin (per-x)
+        jax.ShapeDtypeStruct((1, n_pad), jnp.int32),     # cidx (per-x)
+        jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),   # rmin (per-y)
+        jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),     # rarg (per-y)
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        cost_estimate=None if interpret else pl.CostEstimate(
+            flops=2 * n_pad * m_pad * 7,
+            bytes_accessed=(n_pad * 8 + m_pad * 8) * 4,
+            transcendentals=2 * 3 * n_pad,
+        ),
+    )(freq, xt_pad, xbig, yc_pad, ysqb, *params_t)
+
+
+# ---------------------------------------------------------------------------
+# XLA glue: O(N) loss + gradient wrt warped points
+# ---------------------------------------------------------------------------
+
+def _chamfer_glue(warped_t: Array, cidx: Array, rarg: Array, yc: Array,
+                  x_valid: Array, y_valid: Array, x_len: Array, y_len: Array,
+                  trunc: float) -> tuple[Array, Array]:
+    """Loss + analytic grad wrt warped, from the sweep's indices.
+
+    Exactly ``truncated_chamfer``'s value and its gradient wrt the query
+    cloud (``ops/chamfer._gathered_sum`` incl. the double-where sqrt
+    guard and the 1e-16 floor); the target is constant, matching the
+    solver (`solve/registration.py` chamfer closure).
+    """
+    w = warped_t.T                                   # [N, 3]
+    y_nn = yc[cidx[0]]                               # [N, 3]
+    sq_x = jnp.sum((w - y_nn) ** 2, axis=-1)
+    keep_x = (sq_x < trunc) & x_valid
+    safe_x = jnp.where(keep_x, jnp.maximum(sq_x, _FLOOR), 1.0)
+    root_x = jnp.sqrt(safe_x)
+    loss_x = jnp.sum(jnp.where(keep_x, root_x, 0.0))
+
+    x_nn = w[rarg[:, 0]]                             # [M, 3]
+    sq_y = jnp.sum((yc - x_nn) ** 2, axis=-1)
+    keep_y = (sq_y < trunc) & y_valid
+    safe_y = jnp.where(keep_y, jnp.maximum(sq_y, _FLOOR), 1.0)
+    root_y = jnp.sqrt(safe_y)
+    loss_y = jnp.sum(jnp.where(keep_y, root_y, 0.0))
+
+    loss = loss_x / x_len + loss_y / y_len
+
+    gx = jnp.where(keep_x, 1.0 / root_x, 0.0)[:, None] * (w - y_nn) / x_len
+    gy = jnp.where(keep_y, 1.0 / root_y, 0.0)[:, None] * (x_nn - yc) / y_len
+    g = gx.at[rarg[:, 0]].add(gy)
+    return loss, g.T
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: vjp backward (recomputed forward) + Adam + done gate
+# ---------------------------------------------------------------------------
+
+def _bwd_adam_kernel(freq_ref, step_ref, done_ref, xt_ref, g_ref, *refs,
+                     mlp_scale: float, lr: float, b1: float, b2: float,
+                     eps: float):
+    """Grid over N lane-tiles: per tile, jax.vjp of the recomputed warp
+    accumulates parameter gradients into VMEM scratch; the LAST tile
+    applies the optax-exact Adam update (bias correction by applied-step
+    count) gated by ``done`` (1.0 = hold params/moments, the solver's
+    no-step-after-break semantics)."""
+    p_refs = refs[:_N_PARAMS]
+    m_refs = refs[_N_PARAMS:2 * _N_PARAMS]
+    v_refs = refs[2 * _N_PARAMS:3 * _N_PARAMS]
+    out_refs = refs[3 * _N_PARAMS:6 * _N_PARAMS]   # newp(9) ; newm(9) ; newv(9)
+    g_scr = refs[6 * _N_PARAMS:]
+    i = pl.program_id(0)
+    n_grid = pl.num_programs(0)
+    xt = xt_ref[:]
+    freq = freq_ref[0, 0]
+
+    def f(*params):
+        return _forward_math_t(xt, freq, *params, mlp_scale)
+
+    _, vjp = jax.vjp(f, *[r[:] for r in p_refs])
+    grads = vjp(g_ref[:])
+
+    @pl.when(i == 0)
+    def _():
+        for ref, g in zip(g_scr, grads):
+            ref[:] = g
+
+    @pl.when(i > 0)
+    def _():
+        for ref, g in zip(g_scr, grads):
+            ref[:] = ref[:] + g
+
+    @pl.when(i == n_grid - 1)
+    def _():
+        # optax.adam: mu/nu EMA, bias correction with count+1, eps_root=0.
+        # b**t via exp(t*ln b) with a Python-constant log: Mosaic cannot
+        # legalize math.powf on a traced scalar exponent.
+        t = step_ref[0, 0] + 1.0
+        bc1 = 1.0 - jnp.exp(t * math.log(b1))
+        bc2 = 1.0 - jnp.exp(t * math.log(b2))
+        hold = done_ref[0, 0] > 0.5
+        newp = out_refs[:_N_PARAMS]
+        newm = out_refs[_N_PARAMS:2 * _N_PARAMS]
+        newv = out_refs[2 * _N_PARAMS:]
+        for pr, mr, vr, npr, nmr, nvr, gs in zip(
+                p_refs, m_refs, v_refs, newp, newm, newv, g_scr):
+            g = gs[:]
+            m2 = b1 * mr[:] + (1.0 - b1) * g
+            v2 = b2 * vr[:] + (1.0 - b2) * (g * g)
+            upd = -lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+            npr[:] = jnp.where(hold, pr[:], pr[:] + upd)
+            nmr[:] = jnp.where(hold, mr[:], m2)
+            nvr[:] = jnp.where(hold, vr[:], v2)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mlp_scale", "lr", "b1", "b2", "eps", "tn", "interpret"))
+def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
+                   mlp_scale: float, lr: float, b1: float, b2: float,
+                   eps: float, tn: int, interpret: bool):
+    n_pad = xt_pad.shape[1]
+    tn = min(tn, n_pad)
+    grid = (n_pad // tn,)
+    kernel = functools.partial(_bwd_adam_kernel, mlp_scale=mlp_scale,
+                               lr=lr, b1=b1, b2=b2, eps=eps)
+    mem = {} if interpret else {"memory_space": pltpu.VMEM}
+    smem = {} if interpret else {"memory_space": pltpu.SMEM}
+
+    def const(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i: (0,) * nd, **mem)
+
+    in_specs = (
+        [pl.BlockSpec((1, 1), lambda i: (0, 0), **smem)] * 3   # freq/step/done
+        + [pl.BlockSpec((3, tn), lambda i: (0, i), **mem)]     # xt
+        + [pl.BlockSpec((3, tn), lambda i: (0, i), **mem)]     # g
+        + [const(a) for a in params_t + m_t + v_t]
+    )
+    out_specs = [const(a) for a in params_t * 3]
+    out_shape = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                 for a in params_t * 3]
+    scratch = [pltpu.VMEM(a.shape, jnp.float32) for a in params_t] \
+        if not interpret else [
+            pltpu.VMEM(a.shape, jnp.float32) for a in params_t]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(freq, step, done, xt_pad, g_t, *params_t, *m_t, *v_t)
+    n = _N_PARAMS
+    return list(outs[:n]), list(outs[n:2 * n]), list(outs[2 * n:])
+
+
+# ---------------------------------------------------------------------------
+# Parameter plumbing: level param dict <-> transposed tensor list
+# ---------------------------------------------------------------------------
+
+def params_to_t(p: dict) -> list[Array]:
+    """One level's param dict -> the 9 transposed tensors of
+    ``_forward_math_t`` (same plumbing as ``fused_level_warp_t``)."""
+    w_in = p["input"]["w"].reshape(3, 2, -1)
+    return [
+        w_in[:, 0].T, w_in[:, 1].T, p["input"]["b"].reshape(-1, 1),
+        jnp.swapaxes(p["hidden"]["w"], -1, -2), p["hidden"]["b"][..., None],
+        p["rot"]["w"].T, p["rot"]["b"].reshape(-1, 1),
+        p["trn"]["w"].T, p["trn"]["b"].reshape(-1, 1),
+    ]
+
+
+def t_to_params(t: list[Array]) -> dict:
+    """Inverse of :func:`params_to_t` (exact: transposes/reshapes only)."""
+    w_sin_t, w_cos_t, b_in, wh_t, bh, w_rot_t, b_rot, w_trn_t, b_trn = t
+    w_in = jnp.stack([w_sin_t.T, w_cos_t.T], axis=1)   # [3, 2, w]
+    return {
+        "input": {"w": w_in.reshape(6, -1), "b": b_in[:, 0]},
+        "hidden": {"w": jnp.swapaxes(wh_t, -1, -2), "b": bh[..., 0]},
+        "rot": {"w": w_rot_t.T, "b": b_rot[:, 0]},
+        "trn": {"w": w_trn_t.T, "b": b_trn[:, 0]},
+    }
+
+
+def supports_fused_iteration(pcfg, w_reg: float, n_ldmk: int) -> bool:
+    """The two-kernel path covers the benchmark config: SE3 + axis_angle,
+    no nonrigidity branch, pure-chamfer objective, >=1 hidden layer."""
+    return (pcfg.motion == "SE3" and pcfg.rotation_format == "axis_angle"
+            and not pcfg.nonrigidity_est and pcfg.depth >= 2
+            and w_reg == 0 and n_ldmk == 0)
+
+
+# ---------------------------------------------------------------------------
+# The compiled level loop (mirrors solve/loop.run_adam_loop semantics)
+# ---------------------------------------------------------------------------
+
+def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
+                    t_sample: Array, t_valid: Array, level: Array,
+                    pcfg, lcfg, trunc: float = 1e9,
+                    tm: int = 512, tn: int = 1024,
+                    interpret: bool | None = None):
+    """Adam-optimize one pyramid level with the two-kernel iteration.
+
+    Drop-in for the unfused ``_solve_level`` body (chamfer mode): same
+    3-way early stop, same pre-step warped-points handoff, same optax
+    Adam math. Returns (updated level params dict, warped pts [N, 3],
+    stats {iters, loss}).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    n = pts.shape[0]
+    m = t_sample.shape[0]
+    n_pad = _round_up(max(n, 128), 128)
+    tm = min(tm, _round_up(max(m, 8), 8))
+    m_pad = _round_up(max(m, tm), tm)
+
+    xt_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(
+        pts.astype(jnp.float32).T)
+    xv = jnp.zeros((n_pad,), bool).at[:n].set(pts_valid)
+    xbig = jnp.where(xv, 0.0, _BIG)[None, :]
+    yc_pad = jnp.zeros((m_pad, 3), jnp.float32).at[:m].set(
+        t_sample.astype(jnp.float32))
+    yv = jnp.zeros((m_pad,), bool).at[:m].set(t_valid)
+    ysqb = jnp.where(yv, jnp.sum(yc_pad * yc_pad, axis=-1), _BIG)[:, None]
+    x_len = jnp.maximum(jnp.sum(xv), 1).astype(jnp.float32)
+    y_len = jnp.maximum(jnp.sum(yv), 1).astype(jnp.float32)
+
+    freq = jnp.exp2(jnp.asarray(level, jnp.float32) + 1.0 + pcfg.k0)
+    freq = freq.reshape(1, 1)
+    p0 = params_to_t(lvl_params)
+    zeros = [jnp.zeros_like(a) for a in p0]
+    mlp_scale = float(pcfg.mlp_scale)
+
+    def cond(c):
+        return (c["it"] < lcfg.iters) & jnp.logical_not(c["done"])
+
+    def body(c):
+        warped_t, _, cidx, _, rarg = _fwd_sweep_call(
+            freq, xt_pad, xbig, yc_pad, ysqb, c["p"],
+            mlp_scale=mlp_scale, tm=tm, interpret=interpret)
+        loss, g_t = _chamfer_glue(warped_t, cidx, rarg, yc_pad, xv, yv,
+                                  x_len, y_len, trunc)
+        small = loss < lcfg.loss_eps
+        plateau = jnp.abs(c["loss_prev"] - loss) \
+            < c["loss_prev"] * lcfg.break_threshold_ratio
+        counter = c["counter"] + plateau.astype(jnp.int32)
+        done = small | (counter >= lcfg.max_break_count)
+        newp, newm, newv = _bwd_adam_call(
+            freq, c["applied"].astype(jnp.float32).reshape(1, 1),
+            done.astype(jnp.float32).reshape(1, 1), xt_pad, g_t,
+            c["p"], c["m"], c["v"], mlp_scale=mlp_scale, lr=lcfg.lr,
+            b1=0.9, b2=0.999, eps=1e-8, tn=tn, interpret=interpret)
+        return {
+            "p": newp, "m": newm, "v": newv,
+            "loss_prev": jnp.where(done, c["loss_prev"], loss),
+            "counter": counter,
+            "done": done,
+            "it": c["it"] + 1,
+            "applied": c["applied"] + (1 - done.astype(jnp.int32)),
+            "aux": warped_t,
+            "loss": loss,
+        }
+
+    init = {
+        "p": p0, "m": zeros, "v": [jnp.zeros_like(a) for a in p0],
+        "loss_prev": jnp.float32(1e6),
+        "counter": jnp.int32(0),
+        "done": jnp.bool_(False),
+        "it": jnp.int32(0),
+        "applied": jnp.int32(0),
+        "aux": xt_pad,
+        "loss": jnp.float32(jnp.inf),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    stats = {"iters": out["it"], "loss": out["loss"]}
+    warped = out["aux"].T[:n]
+    return t_to_params(out["p"]), warped, stats

@@ -233,6 +233,254 @@ def _nn_dual_kernel(x_ref, y_ref, x2_ref, y2_ref,
         cidx_ref[0, :] = carg_scr[0, :]
 
 
+def _nn_dual_kernel_v2(x_ref, x2_ref, yr_ref, y2_ref,
+                       rdist_ref, ridx_ref, cdist_ref, cidx_ref,
+                       cmin_scr, carg_scr, *, tn: int, tm: int, m_pad: int):
+    """Transpose-free layout variant of :func:`_nn_dual_kernel`.
+
+    Same math and outputs, but the operand layouts are chosen so no value
+    crosses the lane/sublane axis inside the kernel:
+
+    * ``x`` stays [TN, 3]: each coordinate column ``x[:, k:k+1]`` is already
+      sublane-major, so broadcasting it across the tm lanes of the distance
+      block is a free lane-splat.
+    * ``x2`` arrives as a COLUMN [TN, 1] (the v1 kernel took a lane-major
+      [1, TN] row and paid a lane->sublane transpose per tile to broadcast
+      it down the block's rows).
+    * ``y`` arrives as coordinate ROWS [3, M_pad] (pre-transposed once
+      outside — loop-invariant for the solver, so XLA hoists it), so
+      ``yr[k, ds]`` is a lane-major row vector; the v1 kernel sliced
+      columns out of [M_pad, 3], a strided sublane->lane gather.
+
+    The distance block is then 3 outer-product FMAs plus two broadcast
+    adds — pure VPU passes, no shuffles.
+    """
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    x2 = x2_ref[:]                  # [TN, 1] column (+BIG at invalid rows)
+    x0 = x_ref[:, 0:1]
+    x1 = x_ref[:, 1:2]
+    xz = x_ref[:, 2:3]
+    n_ytiles = m_pad // tm
+    first_x = i == 0
+
+    def ybody(j, carry):
+        best_d, best_i = carry      # [TN, 1] row running min/arg
+        y0 = yr_ref[0, pl.ds(j * tm, tm)][None, :]   # [1, TM]
+        y1 = yr_ref[1, pl.ds(j * tm, tm)][None, :]
+        y2r = yr_ref[2, pl.ds(j * tm, tm)][None, :]
+        y2_t = y2_ref[0, pl.ds(j * tm, tm)][None, :]  # [1, TM]
+        d = x2 + y2_t - 2.0 * (x0 * y0 + x1 * y1 + xz * y2r)
+
+        tile_rmin = jnp.min(d, axis=1, keepdims=True)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + j * tm
+        tile_rarg = jnp.min(jnp.where(d <= tile_rmin, cols, jnp.int32(2**30)),
+                            axis=1, keepdims=True)
+        rbetter = tile_rmin < best_d
+        best_d = jnp.where(rbetter, tile_rmin, best_d)
+        best_i = jnp.where(rbetter, tile_rarg, best_i)
+
+        tile_cmin = jnp.min(d, axis=0)                   # [TM]
+        rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + i * tn
+        tile_carg = jnp.min(jnp.where(d <= tile_cmin[None, :], rows,
+                                      jnp.int32(2**30)), axis=0)
+        prev_min = cmin_scr[0, pl.ds(j * tm, tm)]
+        prev_arg = carg_scr[0, pl.ds(j * tm, tm)]
+        cbetter = first_x | (tile_cmin < prev_min)
+        cmin_scr[0, pl.ds(j * tm, tm)] = jnp.where(cbetter, tile_cmin, prev_min)
+        carg_scr[0, pl.ds(j * tm, tm)] = jnp.where(cbetter, tile_carg, prev_arg)
+        return best_d, best_i
+
+    init = (jnp.full((tn, 1), _BIG, jnp.float32),
+            jnp.zeros((tn, 1), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n_ytiles, ybody, init)
+    rdist_ref[:] = jnp.maximum(best_d, 0.0)
+    ridx_ref[:] = best_i
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        cdist_ref[0, :] = jnp.maximum(cmin_scr[0, :], 0.0)
+        cidx_ref[0, :] = carg_scr[0, :]
+
+
+def _nn_dual_kernel_v3(x_ref, y_ref, x2_ref, y2_ref,
+                       rdist_ref, ridx_ref, cdist_ref, cidx_ref,
+                       cmin_scr, carg_scr, *, tn: int, tm: int, m_pad: int):
+    """Packed min+argmin variant of :func:`_nn_dual_kernel`.
+
+    The v1 kernel pays TWO full [TN, TM] reduction traversals per
+    direction: min(d), then min(where(d <= min, iota, BIG)) for the
+    argmin. Here each direction packs the distance and the tile-local
+    index into ONE int32 — for d >= 0 the f32 bit pattern is monotone, so
+    ``(bitcast(d) & ~LOW_MASK) | lane_index`` sorts lexicographically by
+    (truncated distance, index) and a single integer min yields both.
+
+    Cost: the low 11 mantissa bits of the *selection* distance are
+    truncated, so between candidates whose distances agree to ~1.2e-4
+    RELATIVE the smaller index wins (v1: smaller index wins on exact ties
+    only). The solver consumes only the indices and recomputes exact
+    distances from gathers (``ops/chamfer.py``), so a flipped near-tie
+    changes a row's loss contribution by <= ~6e-5 relative — unlike the
+    bf16 matmul's ~1e-3 ABSOLUTE noise that broke convergence (module
+    docstring), this error is relative-bounded and cannot select a
+    genuinely farther point. Exact ties still resolve first-index-wins,
+    matching v1/XLA.
+
+    Packing is per-tile (11 bits cover tm <= 2048 lane indices and
+    tn <= 2048 sublane indices); cross-tile carries compare the unpacked
+    (distance, global index) pairs exactly like v1, so m_pad/n_pad are
+    unbounded.
+    """
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    x = x_ref[:]                    # [TN, D]
+    x2 = x2_ref[0, :]               # [TN]
+    n_ytiles = m_pad // tm
+    first_x = i == 0
+    low_mask = jnp.int32(0x7FF)     # 11 index bits
+
+    def ybody(j, carry):
+        best_d, best_i = carry      # [TN, 1] row running min/arg
+        y_t = y_ref[pl.ds(j * tm, tm), :]          # [TM, D]
+        y2_t = y2_ref[0, pl.ds(j * tm, tm)]        # [TM]
+        d = x2[:, None] + y2_t[None, :] - 2.0 * (
+            x[:, 0:1] * y_t[:, 0][None, :]
+            + x[:, 1:2] * y_t[:, 1][None, :]
+            + x[:, 2:3] * y_t[:, 2][None, :])
+        bits = jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32)
+
+        # rows: one packed lane-min gives (trunc distance, local col)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        pk_r = (bits & ~low_mask) | cols
+        tile_pk = jnp.min(pk_r, axis=1, keepdims=True)          # [TN, 1]
+        tile_rmin = jax.lax.bitcast_convert_type(tile_pk & ~low_mask,
+                                                 jnp.float32)
+        tile_rarg = (tile_pk & low_mask) + j * tm
+        rbetter = tile_rmin < best_d
+        best_d = jnp.where(rbetter, tile_rmin, best_d)
+        best_i = jnp.where(rbetter, tile_rarg, best_i)
+
+        # columns: one packed sublane-min into the global scratch slice
+        rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+        pk_c = (bits & ~low_mask) | rows
+        tile_cpk = jnp.min(pk_c, axis=0)                        # [TM]
+        tile_cmin = jax.lax.bitcast_convert_type(tile_cpk & ~low_mask,
+                                                 jnp.float32)
+        tile_carg = (tile_cpk & low_mask) + i * tn
+        prev_min = cmin_scr[0, pl.ds(j * tm, tm)]
+        prev_arg = carg_scr[0, pl.ds(j * tm, tm)]
+        cbetter = first_x | (tile_cmin < prev_min)
+        cmin_scr[0, pl.ds(j * tm, tm)] = jnp.where(cbetter, tile_cmin, prev_min)
+        carg_scr[0, pl.ds(j * tm, tm)] = jnp.where(cbetter, tile_carg, prev_arg)
+        return best_d, best_i
+
+    init = (jnp.full((tn, 1), _BIG, jnp.float32),
+            jnp.zeros((tn, 1), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n_ytiles, ybody, init)
+    rdist_ref[:] = best_d
+    ridx_ref[:] = best_i
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        cdist_ref[0, :] = cmin_scr[0, :]
+        cidx_ref[0, :] = carg_scr[0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tn",))
+def _nn_dual_pallas_padded_v3(x_pad: Array, y_pad: Array, x2: Array,
+                              y2: Array, tn: int = 1024):
+    """pallas_call wrapper for :func:`_nn_dual_kernel_v3` (v1 operand
+    layouts; packed reductions inside)."""
+    n_pad, d = x_pad.shape
+    m_pad = y_pad.shape[0]
+    tm = min(m_pad, 2048)
+    kernel = functools.partial(_nn_dual_kernel_v3, tn=tn, tm=tm, m_pad=m_pad)
+    grid = (n_pad // tn,)
+    rdist, ridx, cdist, cidx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, m_pad), jnp.float32),
+            pltpu.VMEM((1, m_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * (d + 4),
+            bytes_accessed=(n_pad * d + m_pad * d + 2 * (n_pad + m_pad)) * 4,
+            transcendentals=0,
+        ),
+    )(x_pad, y_pad, x2[None, :], y2[None, :])
+    return rdist[:, 0], ridx[:, 0], cdist[0], cidx[0]
+
+
+@functools.partial(jax.jit, static_argnames=("tn",))
+def _nn_dual_pallas_padded_v2(x_pad: Array, y_rows: Array, x2c: Array,
+                              y2: Array, tn: int = 1024):
+    """pallas_call wrapper for :func:`_nn_dual_kernel_v2`.
+
+    x_pad [N_pad, 3], y_rows [3, M_pad] (pre-transposed), x2c [N_pad, 1]
+    column, y2 [1, M_pad]; +BIG already written at invalid entries of
+    x2c/y2.
+    """
+    n_pad, d = x_pad.shape
+    m_pad = y_rows.shape[1]
+    # tm capped at 1024 (v1 uses 2048): the outer-product distance form
+    # materializes more [tn, tm] temporaries than v1's — tm=2048 blew the
+    # 16 MB scoped-VMEM budget by 952 KB at tn=1024 (measured).
+    tm = min(m_pad, 1024)
+    kernel = functools.partial(_nn_dual_kernel_v2, tn=tn, tm=tm, m_pad=m_pad)
+    grid = (n_pad // tn,)
+    rdist, ridx, cdist, cidx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, m_pad), jnp.float32),
+            pltpu.VMEM((1, m_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * (d + 4),
+            bytes_accessed=(n_pad * d + m_pad * d + 2 * (n_pad + m_pad)) * 4,
+            transcendentals=0,
+        ),
+    )(x_pad, x2c, y_rows, y2)
+    return rdist[:, 0], ridx[:, 0], cdist[0], cidx[0]
+
+
 @functools.partial(jax.jit, static_argnames=("tn", "elementwise"))
 def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
                            tn: int = 1024, elementwise: bool = True):
@@ -282,15 +530,32 @@ def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
     return rdist[:, 0], ridx[:, 0], cdist[0], cidx[0]
 
 
+# Dual-sweep kernel variant. Module knob so A/B scripts can flip it;
+# measured on-chip (scripts/ab_dual_variant.py, n=2000, round 3):
+#   v1 (baseline)                      0.106 ms/sweep
+#   v2 (transpose-free layouts)        0.114 ms/sweep  — parked: the
+#       outer-product distance form needs more [tn, tm] temporaries, so
+#       its tile is VMEM-capped at 1024 and it loses ~8%
+#   v3 (packed min+argmin, DEFAULT)    0.097 ms/sweep  — one packed
+#       integer reduction replaces the min + masked-iota-min pair per
+#       direction; selection deviates only on <=1.2e-4-RELATIVE near-ties
+#       (0 observed), distances are rebuilt exactly from gathers
+_DUAL_VARIANT = "v3"
+
+
 def nn_argmin_dual_pallas(x: Array, y: Array,
                           x_valid: Array | None = None,
                           y_valid: Array | None = None,
-                          tn: int | None = None) -> tuple[Array, Array, Array, Array]:
+                          tn: int | None = None,
+                          variant: str | None = None) -> tuple[Array, Array, Array, Array]:
     """Both-direction 1-NN in a single distance-tile sweep.
 
     Returns (sq_x2y [N], idx_x2y [N], sq_y2x [M], idx_y2x [M]). The fused
     pass halves the N x M work of calling :func:`nn_argmin` twice and keeps
     the distance matrix entirely in VMEM — the Chamfer hot path.
+
+    ``variant``: "v1" (exact first-win argmin), "v2" (transpose-free,
+    parked), "v3" (packed reductions, default — see ``_DUAL_VARIANT``).
     """
     n, d = x.shape
     m = y.shape[0]
@@ -318,7 +583,24 @@ def nn_argmin_dual_pallas(x: Array, y: Array,
         yv = yv & jnp.pad(y_valid, (0, m_pad - m), constant_values=False)
     x2 = jnp.where(xv, x2, _BIG)
     y2 = jnp.where(yv, y2, _BIG)
-    rdist, ridx, cdist, cidx = _nn_dual_pallas_padded(x_pad, y_pad, x2, y2, tn=tn)
+    if variant is None:
+        variant = _DUAL_VARIANT
+    if variant == "v2":
+        # y's coordinate rows are loop-invariant in the solver, so XLA
+        # hoists this transpose out of the while_loop.
+        rdist, ridx, cdist, cidx = _nn_dual_pallas_padded_v2(
+            x_pad, y_pad.T, x2[:, None], y2[None, :], tn=tn)
+    elif variant == "v3":
+        rdist, ridx, cdist, cidx = _nn_dual_pallas_padded_v3(
+            x_pad, y_pad, x2, y2, tn=tn)
+        # The packed kernel's distances carry truncated mantissas; the
+        # contract promises exact squared distances, so rebuild them from
+        # the (exact-selection-or-near-tie) indices — O(N+M) gathers.
+        rdist = jnp.sum((x_pad - y_pad[ridx]) ** 2, axis=-1)
+        cdist = jnp.sum((y_pad - x_pad[cidx]) ** 2, axis=-1)
+    else:
+        rdist, ridx, cdist, cidx = _nn_dual_pallas_padded(
+            x_pad, y_pad, x2, y2, tn=tn)
     return rdist[:n], ridx[:n], cdist[:m], cidx[:m]
 
 

@@ -38,6 +38,7 @@ from ..ops.chamfer_fused import chamfer_l1_fused
 from ..ops.fused_level import (
     fused_level_warp, fused_level_warp_t, supports_fused,
 )
+from ..ops.fused_iteration import run_fused_level, supports_fused_iteration
 
 Array = jax.Array
 
@@ -69,6 +70,10 @@ class SolverConfig:
     # [N, 3] minor-dim padding the hypothesis blamed). Opt-in like the
     # other measured-neutral experiments: None/False = off.
     transposed: bool | None = None
+    # Two-kernel fused iteration (ops/fused_iteration.py): warp fwd +
+    # dual sweep in one Pallas launch, O(N) XLA glue, vjp bwd + Adam in a
+    # second launch. Chamfer-mode SE3+axis_angle only; None/False = off.
+    use_fused_iteration: bool | None = None
 
 
 def _bce_zeros(p: Array, valid: Array | None = None) -> Array:
@@ -92,6 +97,14 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
     Returns (updated level params, warped pts from last evaluation, stats).
     """
     pcfg = cfg.pyramid
+    if (bool(cfg.use_fused_iteration)
+            and supports_fused_iteration(pcfg, cfg.w_reg, n_ldmk)):
+        lcfg = LoopConfig(iters=cfg.iters, lr=cfg.lr,
+                          max_break_count=cfg.max_break_count,
+                          break_threshold_ratio=cfg.break_threshold_ratio,
+                          loss_eps=cfg.loss_eps)
+        return run_fused_level(lvl_params, pts, pts_valid, t_sample,
+                               t_valid, lvl, pcfg, lcfg)
     # Fused level-warp kernels are opt-in: the A/B on the tunneled v5e chip
     # measured 0.397 (fused) vs 0.377 (unfused) ms/iteration at B=4 — the
     # kernel boundaries trade ~1:1 against XLA's own fusion here because

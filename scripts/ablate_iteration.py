@@ -300,6 +300,74 @@ def main():
 
     timeit("full loss fwd+bwd (fused_t)", full_fwdbwd_fused_t, flat_b, x, y)
 
+    # ---- 9. adam + early-stop scalars only (fixed dummy grad)
+    @jax.jit
+    def adam_only(fb):
+        def one(f):
+            st0 = opt.init(f)
+            g = f * 1e-6
+
+            def body(i, c):
+                f, st, lp, cnt = c
+                l = jnp.sum(f * f) * 1e-9
+                done = (l < 1e-4) | (cnt >= 15)
+                upd, st2 = opt.update(g, st, f)
+                f2 = optax.apply_updates(f, upd)
+                keep = lambda a, b: jnp.where(done, b, a)
+                plateau = jnp.abs(lp - l) < lp * 1e-3
+                return (jax.tree.map(keep, f2, f),
+                        jax.tree.map(keep, st2, st),
+                        jnp.where(done, lp, l),
+                        cnt + plateau.astype(jnp.int32) * 0)
+
+            out = jax.lax.fori_loop(0, ITERS, body,
+                                    (f, st0, jnp.float32(1e6), jnp.int32(0)))
+            return out[0]
+        return jax.vmap(one)(fb)
+
+    timeit("adam+stop only", adam_only, flat_b)
+
+    # ---- 10. chamfer glue only: gathers + L1 sums + grad wrt x at FIXED idx
+    @jax.jit
+    def glue_only(xb, yb):
+        def one(x1, y1):
+            _, ix, _, iy = nn_argmin_dual(x1, y1, use_pallas=True)
+
+            def loss(xx):
+                nn_x = y1[ix]
+                sq_x = jnp.sum((xx - nn_x) ** 2, axis=-1)
+                nn_y = xx[iy]
+                sq_y = jnp.sum((y1 - nn_y) ** 2, axis=-1)
+                n = xx.shape[0]
+                sx = jnp.sum(jnp.sqrt(jnp.maximum(sq_x, 1e-16)))
+                sy = jnp.sum(jnp.sqrt(jnp.maximum(sq_y, 1e-16)))
+                return sx / n + sy / y1.shape[0]
+
+            def body(i, c):
+                g = jax.grad(loss)(c)
+                return c + 1e-9 * g
+            return jax.lax.fori_loop(0, ITERS, body, x1)
+        return jax.vmap(one)(xb, yb)
+
+    timeit("chamfer glue only (fixed idx)", glue_only, x, y)
+
+    # ---- 11. sweep kernel alone at both tile sizes
+    from deformationpyramid_tpu.ops.knn import nn_argmin_dual_pallas
+
+    def make_cham_tn(tn):
+        @jax.jit
+        def cham_kernel_tn(xb, yb):
+            def one(x1, y1):
+                def body(i, c):
+                    _, ix, _, iy = nn_argmin_dual_pallas(c, y1, tn=tn)
+                    return c + 1e-12 * ix[:, None].astype(jnp.float32)
+                return jax.lax.fori_loop(0, ITERS, body, x1)
+            return jax.vmap(one)(xb, yb)
+        return cham_kernel_tn
+
+    for tn in (512, 1024):
+        timeit(f"chamfer dual kernel tn={tn}", make_cham_tn(tn), x, y)
+
     @jax.jit
     def full_iter_t(fb, xb, yb):
         def one(f, x1, y1):

@@ -1,0 +1,233 @@
+"""Parity tests for the two-kernel fused solver iteration
+(``ops/fused_iteration.py``), interpret-mode on CPU.
+
+Strategy mirrors tests/test_fused_level.py: every stage is pinned against
+the unfused reference path (``models.pyramid.level_warp`` +
+``ops.chamfer.truncated_chamfer`` + ``solve.loop.run_adam_loop``), then a
+full level and a full registration are compared end-to-end.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deformationpyramid_tpu.ops import fused_level as _fl
+
+
+@pytest.fixture(autouse=True)
+def _exact_wide_dots():
+    """Pin the in-kernel wide matmuls to HIGHEST for parity tests: the
+    default bf16x3 mode drops the lo*lo term (~2^-16 relative — see
+    ops/fused_level._dot_wide), which is fine on-chip but would make
+    trajectory-equality assertions flaky."""
+    prev = _fl._WIDE_MODE
+    _fl._WIDE_MODE = "highest"
+    try:
+        yield
+    finally:
+        _fl._WIDE_MODE = prev
+
+from deformationpyramid_tpu.models.pyramid import (
+    NDPConfig, init_pyramid_params, level_params, level_warp,
+)
+from deformationpyramid_tpu.ops.chamfer import truncated_chamfer
+from deformationpyramid_tpu.ops.fused_iteration import (
+    _bwd_adam_call, _chamfer_glue, _fwd_sweep_call, params_to_t,
+    run_fused_level, supports_fused_iteration, t_to_params,
+)
+from deformationpyramid_tpu.solve.loop import LoopConfig, run_adam_loop
+
+CFG = NDPConfig(m=4, k0=-6, depth=3, width=64, rotation_format="axis_angle",
+                motion="SE3")
+
+
+def _setup(n=200, m=260, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.standard_normal((n, 3)) * 0.4, jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((m, 3)) * 0.4, jnp.float32)
+    params = init_pyramid_params(jax.random.key(seed), CFG)
+    lvl_p = level_params(params, 1)
+    return pts, tgt, lvl_p
+
+
+def _pad_inputs(pts, tgt, lvl=1):
+    """Replicates run_fused_level's padding prologue for kernel-level tests."""
+    from deformationpyramid_tpu.ops.fused_iteration import _BIG, _round_up
+
+    n, m = pts.shape[0], tgt.shape[0]
+    n_pad = _round_up(max(n, 128), 128)
+    tm = min(512, _round_up(max(m, 8), 8))
+    m_pad = _round_up(max(m, tm), tm)
+    xt_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(pts.T)
+    xv = jnp.zeros((n_pad,), bool).at[:n].set(True)
+    xbig = jnp.where(xv, 0.0, _BIG)[None, :]
+    yc = jnp.zeros((m_pad, 3), jnp.float32).at[:m].set(tgt)
+    yv = jnp.zeros((m_pad,), bool).at[:m].set(True)
+    ysqb = jnp.where(yv, jnp.sum(yc * yc, axis=-1), _BIG)[:, None]
+    freq = jnp.exp2(jnp.float32(lvl) + 1.0 + CFG.k0).reshape(1, 1)
+    return xt_pad, xbig, yc, ysqb, xv, yv, freq, tm, n_pad, m_pad
+
+
+def test_param_roundtrip():
+    _, _, lvl_p = _setup()
+    back = t_to_params(params_to_t(lvl_p))
+    for k in lvl_p:
+        for kk in lvl_p[k]:
+            assert np.array_equal(np.asarray(lvl_p[k][kk]),
+                                  np.asarray(back[k][kk])), (k, kk)
+
+
+def test_supports_gate():
+    assert supports_fused_iteration(CFG, 0.0, 0)
+    assert not supports_fused_iteration(CFG, 0.5, 0)
+    assert not supports_fused_iteration(CFG, 0.0, 5)
+    assert not supports_fused_iteration(
+        NDPConfig(motion="Sim3", rotation_format="axis_angle"), 0.0, 0)
+    assert not supports_fused_iteration(
+        NDPConfig(depth=1, rotation_format="axis_angle"), 0.0, 0)
+
+
+def test_fwd_sweep_kernel_matches_reference():
+    """Kernel 1: warped points == level_warp; indices == XLA argmin."""
+    pts, tgt, lvl_p = _setup()
+    xt_pad, xbig, yc, ysqb, xv, yv, freq, tm, n_pad, m_pad = _pad_inputs(
+        pts, tgt)
+    warped_t, cmin, cidx, rmin, rarg = _fwd_sweep_call(
+        freq, xt_pad, xbig, yc, ysqb, params_to_t(lvl_p),
+        mlp_scale=CFG.mlp_scale, tm=tm, interpret=True)
+
+    ref_warped, _ = level_warp(lvl_p, pts, 1, CFG)
+    got = np.asarray(warped_t).T[:pts.shape[0]]
+    assert np.abs(got - np.asarray(ref_warped)).max() < 1e-5
+
+    d = ((got[:, None] - np.asarray(tgt)[None]) ** 2).sum(-1)
+    n, m = pts.shape[0], tgt.shape[0]
+    assert (np.asarray(cidx)[0, :n] == d.argmin(1)).all()
+    assert (np.asarray(rarg)[:m, 0] == d.argmin(0)).all()
+    assert np.allclose(np.asarray(cmin)[0, :n], d.min(1), atol=1e-5)
+    assert np.allclose(np.asarray(rmin)[:m, 0], d.min(0), atol=1e-5)
+
+
+def test_glue_matches_truncated_chamfer():
+    """Glue loss == truncated_chamfer value; grad == autodiff grad."""
+    pts, tgt, lvl_p = _setup()
+    xt_pad, xbig, yc, ysqb, xv, yv, freq, tm, n_pad, m_pad = _pad_inputs(
+        pts, tgt)
+    for trunc in (1e9, 0.25):
+        warped_t, _, cidx, _, rarg = _fwd_sweep_call(
+            freq, xt_pad, xbig, yc, ysqb, params_to_t(lvl_p),
+            mlp_scale=CFG.mlp_scale, tm=tm, interpret=True)
+        x_len = jnp.float32(pts.shape[0])
+        y_len = jnp.float32(tgt.shape[0])
+        loss, g_t = _chamfer_glue(warped_t, cidx, rarg, yc, xv, yv,
+                                  x_len, y_len, trunc)
+
+        w = jnp.asarray(np.asarray(warped_t).T[:pts.shape[0]])
+        ref = truncated_chamfer(w, tgt, trunc=trunc, use_pallas=False)
+        assert abs(float(loss) - float(ref)) < 1e-6, trunc
+
+        gref = jax.grad(lambda q: truncated_chamfer(
+            q, tgt, trunc=trunc, use_pallas=False))(w)
+        got = np.asarray(g_t).T[:pts.shape[0]]
+        assert np.abs(got - np.asarray(gref)).max() < 1e-5, trunc
+
+
+def test_bwd_adam_matches_optax_step():
+    """Kernel 2: param grads == jax.grad through level_warp; the update ==
+    one optax.adam step; done=1 holds everything."""
+    pts, tgt, lvl_p = _setup()
+    xt_pad, xbig, yc, ysqb, xv, yv, freq, tm, n_pad, m_pad = _pad_inputs(
+        pts, tgt)
+    p_t = params_to_t(lvl_p)
+    m_t = [jnp.zeros_like(a) for a in p_t]
+    v_t = [jnp.zeros_like(a) for a in p_t]
+    rng = np.random.default_rng(3)
+    g_full = jnp.asarray(rng.standard_normal((pts.shape[0], 3)) * 0.1,
+                         jnp.float32)
+    g_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :pts.shape[0]].set(
+        g_full.T)
+
+    step = jnp.zeros((1, 1), jnp.float32)
+    live = jnp.zeros((1, 1), jnp.float32)
+    newp, newm, newv = _bwd_adam_call(
+        freq, step, live, xt_pad, g_pad, p_t, m_t, v_t,
+        mlp_scale=CFG.mlp_scale, lr=0.01, b1=0.9, b2=0.999, eps=1e-8,
+        tn=128, interpret=True)
+
+    def loss_fn(p):
+        warped, _ = level_warp(p, pts, 1, CFG)
+        return jnp.sum(warped * g_full)
+
+    gref = jax.grad(loss_fn)(lvl_p)
+    opt = optax.adam(0.01)
+    st = opt.init(lvl_p)
+    upd, _ = opt.update(gref, st, lvl_p)
+    ref_p = optax.apply_updates(lvl_p, upd)
+    got_p = t_to_params(list(newp))
+    for k in ref_p:
+        for kk in ref_p[k]:
+            a, b = np.asarray(ref_p[k][kk]), np.asarray(got_p[k][kk])
+            assert np.abs(a - b).max() < 1e-5, (k, kk, np.abs(a - b).max())
+
+    held, heldm, heldv = _bwd_adam_call(
+        freq, step, jnp.ones((1, 1), jnp.float32), xt_pad, g_pad,
+        p_t, m_t, v_t, mlp_scale=CFG.mlp_scale, lr=0.01, b1=0.9, b2=0.999,
+        eps=1e-8, tn=128, interpret=True)
+    for a, b in zip(held, p_t):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a in heldm:
+        assert not np.asarray(a).any()
+
+
+def test_run_fused_level_matches_run_adam_loop():
+    """Full level: identical early-stop iteration counts and matching
+    loss/params/warped within f32 drift vs the unfused loop."""
+    pts, tgt, lvl_p = _setup(n=180, m=200, seed=5)
+    lcfg = LoopConfig(iters=25, lr=0.01, max_break_count=15,
+                      break_threshold_ratio=0.001)
+    pts_valid = jnp.ones((pts.shape[0],), bool)
+    t_valid = jnp.ones((tgt.shape[0],), bool)
+
+    new_p, warped, stats = run_fused_level(
+        lvl_p, pts, pts_valid, tgt, t_valid, jnp.int32(1), CFG, lcfg,
+        interpret=True)
+
+    def loss_fn(p, it, key):
+        w, _ = level_warp(p, pts, 1, CFG)
+        return truncated_chamfer(w, tgt, use_pallas=False), w
+
+    ref_p, ref_warped, ref_stats = run_adam_loop(loss_fn, lvl_p, lcfg,
+                                                 aux_init=pts)
+
+    assert int(stats["iters"]) == int(ref_stats["iters"])
+    assert abs(float(stats["loss"]) - float(ref_stats["loss"])) < 1e-4
+    assert np.abs(np.asarray(warped) - np.asarray(ref_warped)).max() < 1e-3
+    for k in ref_p:
+        for kk in ref_p[k]:
+            a, b = np.asarray(ref_p[k][kk]), np.asarray(new_p[k][kk])
+            assert np.abs(a - b).max() < 1e-3, (k, kk)
+
+
+def test_register_pair_fused_iteration_equivalence():
+    """register_pair with use_fused_iteration matches the default path:
+    same per-level iteration counts, warped cloud within f32 drift."""
+    from deformationpyramid_tpu.data.synthetic import make_pair
+    from deformationpyramid_tpu.solve.registration import (
+        SolverConfig, register_pair)
+
+    src, tgt, _ = make_pair(n=300, seed=0, deform=0.12)
+    base = dict(pyramid=NDPConfig(m=3, k0=-6, depth=3, width=48), iters=30,
+                lr=0.01, max_break_count=15, break_threshold_ratio=0.001,
+                samples=256)
+    outs = []
+    for fi in (False, True):
+        cfg = SolverConfig(**base, use_fused_iteration=fi)
+        w, st = jax.jit(lambda k, s, t: register_pair(k, s, t, cfg))(
+            jax.random.key(0), jnp.array(src), jnp.array(tgt))
+        outs.append((np.asarray(w), np.asarray(st["loss"]),
+                     np.asarray(st["iters"])))
+    assert (outs[0][2] == outs[1][2]).all(), (outs[0][2], outs[1][2])
+    assert np.allclose(outs[0][1], outs[1][1], atol=5e-3)
+    assert np.abs(outs[0][0] - outs[1][0]).max() < 2e-2
