@@ -37,6 +37,23 @@ from ..utils.logging import AverageMeter, Logger, write_run_provenance
 from ..utils.timers import Timers
 
 
+def _fused_iter_default(cfg: AttrDict) -> bool | None:
+    """Two-kernel fused iteration for the eval sweep: YAML key >
+    DP_FUSED_ITER env > auto (on when the backend is TPU). The
+    per-config applicability gate (`supports_fused_iteration`) still
+    decides per solve; unsupported configs (w_reg>0, landmarks, Sim3)
+    silently use the unfused path."""
+    if "use_fused_iteration" in cfg:
+        return bool(cfg["use_fused_iteration"])
+    env = os.environ.get("DP_FUSED_ITER")
+    if env is not None:
+        return bool(int(env))
+    try:
+        return jax.default_backend() == "tpu" or None
+    except Exception:  # pragma: no cover
+        return None
+
+
 def solver_from_config(cfg: AttrDict):
     """Map a reference-format YAML config onto a solver + batched runner."""
     model = cfg.get("deformation_model", "NDP")
@@ -53,6 +70,7 @@ def solver_from_config(cfg: AttrDict):
             max_break_count=cfg.get("max_break_count", 15),
             break_threshold_ratio=cfg.get("break_threshold_ratio", 0.001),
             samples=cfg.get("samples", 2000), w_reg=cfg.get("w_reg", 0.0),
+            use_fused_iteration=_fused_iter_default(cfg),
         )
         fn = lambda keys, s, t, sv, tv: register_batch(keys, s, t, scfg, sv, tv)
         return scfg, jax.jit(fn), "full"
