@@ -386,6 +386,155 @@ def _nn_dual_kernel_v3(x_ref, y_ref, x2_ref, y2_ref,
         cidx_ref[0, :] = carg_scr[0, :]
 
 
+def _nn_dual_kernel_v4(xa_ref, yat_ref,
+                       rdist_ref, ridx_ref, cdist_ref, cidx_ref,
+                       cmin_scr, carg_scr, *, tn: int, tm: int, m_pad: int,
+                       mode: str):
+    """MXU-distance variant of :func:`_nn_dual_kernel_v3`.
+
+    v3's distance tile costs ~8 VPU ops/element (3 broadcast products, 2
+    adds, the x2+y2-2c combine) while the MXU idles. Here the whole tile
+    is ONE augmented matmul: rows ``[|x|^2, 1, x]`` times columns
+    ``[1, |y|^2, -2y]^T`` give ``|x|^2 + |y|^2 - 2<x,y>`` directly, so the
+    VPU only packs and reduces (the v3 packed min+argmin).
+
+    ``mode``: "bf16x3" (default) splits each operand into its bf16 high
+    part and f32 remainder and sums 3 single-pass products — ~f32
+    fidelity (error ~2^-16 relative of the largest term, i.e. absolute
+    ~1.5e-5 * scale^2) at half of HIGHEST's 6 MXU passes. Unlike the
+    round-2 single-pass bf16 attempt (4e-3 absolute — broke convergence)
+    this stays well inside the packed reduction's own ~1.2e-4 near-tie
+    band, and the wrapper rebuilds returned distances exactly from
+    gathers. "highest" keeps exact f32 (6 passes) for A/B.
+
+    Padded rows/cols carry ``_BIG`` in their squared-norm slot; the worst
+    case BIG+BIG overflows to +inf whose bit pattern still sorts above
+    every finite distance (same as v3's elementwise form).
+    """
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    xa = xa_ref[:]                  # [TN, 5] = [|x|^2, 1, x, y, z]
+    n_ytiles = m_pad // tm
+    first_x = i == 0
+    low_mask = jnp.int32(0x7FF)     # 11 index bits
+
+    if mode == "bf16x3":
+        xa_hi = xa.astype(jnp.bfloat16).astype(jnp.float32)
+        xa_lo = xa - xa_hi
+
+    def ybody(j, carry):
+        best_d, best_i = carry      # [TN, 1] row running min/arg
+        ya = yat_ref[:, pl.ds(j * tm, tm)]         # [5, TM]
+        if mode == "bf16x3":
+            ya_hi = ya.astype(jnp.bfloat16).astype(jnp.float32)
+            ya_lo = ya - ya_hi
+
+            def dd(u, v):
+                return jnp.dot(u, v, preferred_element_type=jnp.float32)
+
+            d = dd(xa_hi, ya_lo) + dd(xa_lo, ya_hi) + dd(xa_hi, ya_hi)
+        else:
+            d = jnp.dot(xa, ya, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        bits = jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32)
+
+        # rows: one packed lane-min gives (trunc distance, local col)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        pk_r = (bits & ~low_mask) | cols
+        tile_pk = jnp.min(pk_r, axis=1, keepdims=True)          # [TN, 1]
+        tile_rmin = jax.lax.bitcast_convert_type(tile_pk & ~low_mask,
+                                                 jnp.float32)
+        tile_rarg = (tile_pk & low_mask) + j * tm
+        rbetter = tile_rmin < best_d
+        best_d = jnp.where(rbetter, tile_rmin, best_d)
+        best_i = jnp.where(rbetter, tile_rarg, best_i)
+
+        # columns: one packed sublane-min into the global scratch slice
+        rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+        pk_c = (bits & ~low_mask) | rows
+        tile_cpk = jnp.min(pk_c, axis=0)                        # [TM]
+        tile_cmin = jax.lax.bitcast_convert_type(tile_cpk & ~low_mask,
+                                                 jnp.float32)
+        tile_carg = (tile_cpk & low_mask) + i * tn
+        prev_min = cmin_scr[0, pl.ds(j * tm, tm)]
+        prev_arg = carg_scr[0, pl.ds(j * tm, tm)]
+        cbetter = first_x | (tile_cmin < prev_min)
+        cmin_scr[0, pl.ds(j * tm, tm)] = jnp.where(cbetter, tile_cmin, prev_min)
+        carg_scr[0, pl.ds(j * tm, tm)] = jnp.where(cbetter, tile_carg, prev_arg)
+        return best_d, best_i
+
+    init = (jnp.full((tn, 1), _BIG, jnp.float32),
+            jnp.zeros((tn, 1), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n_ytiles, ybody, init)
+    rdist_ref[:] = best_d
+    ridx_ref[:] = best_i
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        cdist_ref[0, :] = cmin_scr[0, :]
+        cidx_ref[0, :] = carg_scr[0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "mode"))
+def _nn_dual_pallas_padded_v4(x_pad: Array, y_pad: Array, x2: Array,
+                              y2: Array, tn: int = 1024,
+                              mode: str = "bf16x3"):
+    """pallas_call wrapper for :func:`_nn_dual_kernel_v4`: builds the
+    augmented operands outside the kernel (lane-axis concatenation is not
+    Mosaic-legal inside)."""
+    n_pad, d = x_pad.shape
+    m_pad = y_pad.shape[0]
+    # tm capped at 1024 (vs v3's 2048): the hi/lo split temporaries push
+    # a [1024, 2048] tile 344 KB past the 16 MB scoped-VMEM budget
+    # (measured 16.34 MB). m_pad is always a multiple of 256 (caller
+    # rounding), so step down until tm divides it.
+    if m_pad <= 1024:
+        tm = m_pad
+    else:
+        tm = next(t for t in (1024, 512, 256) if m_pad % t == 0)
+    ones_n = jnp.ones((n_pad, 1), jnp.float32)
+    xa = jnp.concatenate([x2[:, None], ones_n, x_pad], axis=1)   # [N, 5]
+    yat = jnp.concatenate([jnp.ones((1, m_pad), jnp.float32), y2[None, :],
+                           -2.0 * y_pad.T], axis=0)              # [5, M]
+    kernel = functools.partial(_nn_dual_kernel_v4, tn=tn, tm=tm,
+                               m_pad=m_pad, mode=mode)
+    grid = (n_pad // tn,)
+    rdist, ridx, cdist, cidx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, d + 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d + 2, m_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, m_pad), jnp.float32),
+            pltpu.VMEM((1, m_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * (d + 2)
+            * (3 if mode == "bf16x3" else 6),
+            bytes_accessed=(n_pad * (d + 2) + m_pad * (d + 2)
+                            + 2 * (n_pad + m_pad)) * 4,
+            transcendentals=0,
+        ),
+    )(xa, yat)
+    return rdist[:, 0], ridx[:, 0], cdist[0], cidx[0]
+
+
 @functools.partial(jax.jit, static_argnames=("tn",))
 def _nn_dual_pallas_padded_v3(x_pad: Array, y_pad: Array, x2: Array,
                               y2: Array, tn: int = 1024):
@@ -536,11 +685,20 @@ def _nn_dual_pallas_padded(x_pad: Array, y_pad: Array, x2: Array, y2: Array,
 #   v2 (transpose-free layouts)        0.114 ms/sweep  — parked: the
 #       outer-product distance form needs more [tn, tm] temporaries, so
 #       its tile is VMEM-capped at 1024 and it loses ~8%
-#   v3 (packed min+argmin, DEFAULT)    0.097 ms/sweep  — one packed
+#   v3 (packed min+argmin)             0.097 ms/sweep  — one packed
 #       integer reduction replaces the min + masked-iota-min pair per
 #       direction; selection deviates only on <=1.2e-4-RELATIVE near-ties
 #       (0 observed), distances are rebuilt exactly from gathers
-_DUAL_VARIANT = "v3"
+#   v4 (v3 + MXU bf16x3 distances)     same-session A/B at tn=1024:
+#       0.1138 vs v3's 0.1192 ms/sweep (~4.5%) — the distance tile
+#       becomes one augmented matmul ([|x|^2,1,x] @ [1,|y|^2,-2y]^T) so
+#       the VPU only packs/reduces; at tn=512 it LOSES (0.1185 vs
+#       0.1134, the hi/lo split temporaries dominate the smaller tile),
+#       hence the tn-gated default below. "v4h" keeps exact-f32 matmuls
+#       (6 MXU passes) for A/B: 0.126 ms — the 3-pass split wins.
+#   None = auto: v4 at tn=1024 (solver shapes, m_pad<=2048), v3 at
+#       tn=512 (big-bucket shapes).
+_DUAL_VARIANT = None
 
 
 def nn_argmin_dual_pallas(x: Array, y: Array,
@@ -555,7 +713,8 @@ def nn_argmin_dual_pallas(x: Array, y: Array,
     the distance matrix entirely in VMEM — the Chamfer hot path.
 
     ``variant``: "v1" (exact first-win argmin), "v2" (transpose-free,
-    parked), "v3" (packed reductions, default — see ``_DUAL_VARIANT``).
+    parked), "v3" (packed reductions), "v4"/"v4h" (v3 + MXU distances).
+    Default is tile-size-gated — see ``_DUAL_VARIANT``.
     """
     n, d = x.shape
     m = y.shape[0]
@@ -585,15 +744,22 @@ def nn_argmin_dual_pallas(x: Array, y: Array,
     y2 = jnp.where(yv, y2, _BIG)
     if variant is None:
         variant = _DUAL_VARIANT
+    if variant is None:
+        variant = "v4" if tn == 1024 else "v3"
     if variant == "v2":
         # y's coordinate rows are loop-invariant in the solver, so XLA
         # hoists this transpose out of the while_loop.
         rdist, ridx, cdist, cidx = _nn_dual_pallas_padded_v2(
             x_pad, y_pad.T, x2[:, None], y2[None, :], tn=tn)
-    elif variant == "v3":
-        rdist, ridx, cdist, cidx = _nn_dual_pallas_padded_v3(
-            x_pad, y_pad, x2, y2, tn=tn)
-        # The packed kernel's distances carry truncated mantissas; the
+    elif variant in ("v3", "v4", "v4h"):
+        if variant == "v3":
+            rdist, ridx, cdist, cidx = _nn_dual_pallas_padded_v3(
+                x_pad, y_pad, x2, y2, tn=tn)
+        else:
+            rdist, ridx, cdist, cidx = _nn_dual_pallas_padded_v4(
+                x_pad, y_pad, x2, y2, tn=tn,
+                mode="highest" if variant == "v4h" else "bf16x3")
+        # The packed kernels' distances carry truncated mantissas; the
         # contract promises exact squared distances, so rebuild them from
         # the (exact-selection-or-near-tie) indices — O(N+M) gathers.
         rdist = jnp.sum((x_pad - y_pad[ridx]) ** 2, axis=-1)

@@ -25,36 +25,29 @@ def main():
     x = jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
     y = jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
 
-    # ---- correctness: v1 vs v2 vs XLA reference
+    # ---- correctness: v1 vs XLA reference (v2 is parked — VMEM-capped)
     o1 = jax.jit(lambda a, b: nn_argmin_dual_pallas(a, b, variant="v1"))(x, y)
-    o2 = jax.jit(lambda a, b: nn_argmin_dual_pallas(a, b, variant="v2"))(x, y)
-    names = ["sq_x2y", "idx_x2y", "sq_y2x", "idx_y2x"]
-    for nme, a, b in zip(names, o1, o2):
-        a = np.asarray(a)
-        b = np.asarray(b)
-        if a.dtype.kind == "i":
-            bad = int((a != b).sum())
-            print(f"{nme}: idx mismatches v1-v2 = {bad}")
-            assert bad == 0, nme
-        else:
-            err = float(np.abs(a - b).max())
-            print(f"{nme}: max |v1-v2| = {err:.3e}")
-            assert err == 0.0, nme
     sq_ref, idx_ref = nn_argmin_xla(x, y)
     print("idx vs XLA mismatches:", int((np.asarray(idx_ref) != np.asarray(o1[1])).sum()))
 
-    # v3 (packed): indices may flip only on ~1.2e-4-relative near-ties;
-    # its returned distances are rebuilt exactly from the gathers.
-    o3 = jax.jit(lambda a, b: nn_argmin_dual_pallas(a, b, variant="v3"))(x, y)
-    for nme, a, b, da, db in [("x2y", o1[1], o3[1], o1[0], o3[0]),
-                              ("y2x", o1[3], o3[3], o1[2], o3[2])]:
-        a, b = np.asarray(a), np.asarray(b)
-        da, db = np.asarray(da), np.asarray(db)
-        flips = a != b
-        rel = np.abs(db[flips] - da[flips]) / np.maximum(da[flips], 1e-30)
-        print(f"v3 {nme}: {int(flips.sum())} near-tie flips, "
-              f"max rel dist gap {rel.max() if flips.any() else 0.0:.2e}")
-        assert not flips.any() or rel.max() < 3e-4, "v3 flipped a non-near-tie"
+    # v3/v4 (packed): indices may flip only on near-ties (v3 ~1.2e-4
+    # relative mantissa truncation; v4 additionally the bf16x3 matmul's
+    # ~1.5e-5-absolute rounding); returned distances are rebuilt exactly
+    # from the gathers.
+    for variant, tol in (("v3", 3e-4), ("v4", 1e-3), ("v4h", 3e-4)):
+        o3 = jax.jit(
+            lambda a, b, v=variant: nn_argmin_dual_pallas(a, b, variant=v)
+        )(x, y)
+        for nme, a, b, da, db in [("x2y", o1[1], o3[1], o1[0], o3[0]),
+                                  ("y2x", o1[3], o3[3], o1[2], o3[2])]:
+            a, b = np.asarray(a), np.asarray(b)
+            da, db = np.asarray(da), np.asarray(db)
+            flips = a != b
+            rel = np.abs(db[flips] - da[flips]) / np.maximum(da[flips], 1e-30)
+            print(f"{variant} {nme}: {int(flips.sum())} near-tie flips, "
+                  f"max rel dist gap {rel.max() if flips.any() else 0.0:.2e}")
+            assert not flips.any() or rel.max() < tol, \
+                f"{variant} flipped a non-near-tie"
     print("parity OK")
 
     # ---- timing: loop-of-sweeps per variant
@@ -68,7 +61,7 @@ def main():
             return jax.lax.fori_loop(0, ITERS, body, x1)
         return run
 
-    for variant in ("v1", "v2", "v3"):
+    for variant in ("v1", "v3", "v4", "v4h"):
         for tn in (512, 1024):
             f = make(variant, tn)
             try:

@@ -138,7 +138,7 @@ def test_nn_argmin_dual_interpret_large_sizes():
     rng = np.random.default_rng(11)
     orig = pl.pallas_call
     caches = (knn._nn_dual_pallas_padded, knn._nn_dual_pallas_padded_v2,
-              knn._nn_dual_pallas_padded_v3)
+              knn._nn_dual_pallas_padded_v3, knn._nn_dual_pallas_padded_v4)
     try:
         pl.pallas_call = functools.partial(orig, interpret=True)
         for c in caches:
@@ -146,16 +146,18 @@ def test_nn_argmin_dual_interpret_large_sizes():
         def check_idx(idx, dmat, variant, axis_min, tag):
             idx = np.asarray(idx)
             ref = dmat.argmin(1)
-            if variant != "v3":
+            if variant in ("v1", "v2"):
                 assert (idx == ref).all(), (variant, tag)
                 return
-            # v3 may flip near-ties only: chosen distance within 1.2e-4
-            # RELATIVE of the true min (the 11 truncated mantissa bits)
+            # v3/v4 may flip near-ties only: chosen distance within the
+            # packing's 1.2e-4-RELATIVE band (v4 adds the bf16x3 matmul's
+            # ~1.5e-5-absolute rounding, scale ~1 on this data)
             chosen = np.take_along_axis(dmat, idx[:, None], 1)[:, 0]
             rel = (chosen - axis_min) / np.maximum(axis_min, 1e-30)
-            assert rel.max() < 3e-4, (variant, tag, rel.max())
+            tol = 3e-4 if variant in ("v3", "v4h") else 1e-3
+            assert rel.max() < tol, (variant, tag, rel.max())
 
-        for variant in ("v1", "v2", "v3"):
+        for variant in ("v1", "v2", "v3", "v4", "v4h"):
             for n, m in [(300, 700), (600, 2500), (130, 150)]:
                 x = rng.normal(size=(n, 3)).astype(np.float32)
                 y = rng.normal(size=(m, 3)).astype(np.float32)
