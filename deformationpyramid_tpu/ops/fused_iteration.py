@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,12 +55,13 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-from .fused_level import _forward_math_t
+from .fused_level import _dot_wide, _forward_math_t
 
 Array = jax.Array
 
 _BIG = 3.0e38
 _FLOOR = 1e-16  # sqrt floor, matches ops/chamfer._gathered_sum
+_LOW_MASK = 0x7FF  # 11 packed index bits (ops/knn v3 scheme)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -82,7 +84,8 @@ _N_PARAMS = 9  # w_sin_t, w_cos_t, b_in_t, wh_t, bh_t, w_rot_t, b_rot_t,
 
 
 def _fwd_sweep_kernel(freq_ref, xt_ref, xbig_ref, yc_ref, ysqb_ref,
-                      *refs, mlp_scale: float, tm: int, m_pad: int):
+                      *refs, mlp_scale: float, tm: int, m_pad: int,
+                      mxu_dist: bool, packed: bool):
     """Warp the level's points, then sweep distance tiles for both 1-NN
     directions.
 
@@ -90,8 +93,18 @@ def _fwd_sweep_kernel(freq_ref, xt_ref, xbig_ref, yc_ref, ysqb_ref,
     distance block is [tm, N] — y's coordinate COLUMNS ([tm, 1] slices of
     ``yc``) against warped's coordinate ROWS, so the per-y direction
     reduces over lanes and the per-x direction over sublanes with a
-    cross-tile carry. Same selection semantics as ``ops/knn``'s v1 kernel
-    (exact-f32 FMA distances, first-index tie-break in both directions).
+    cross-tile carry.
+
+    ``mxu_dist``: compute the cross term as one ``[tm,3] @ [3,N]``
+    bf16x3 matmul (``ops/fused_level._dot_wide``) instead of ~7 VPU
+    broadcast passes — ~1.5e-5-absolute rounding, i.e. near-tie index
+    flips only (the loss glue recomputes exact distances from indices).
+    ``packed``: the ops/knn v3 scheme — for d >= 0 the f32 bit pattern
+    is monotone, so ``(bitcast(d) & ~0x7FF) | index`` makes ONE integer
+    min return (truncated distance, argmin) per direction; requires
+    n_pad and m_pad <= 2048 (11 index bits). First-index-wins on exact
+    ties, flips only within the ~1.2e-4-relative truncation band.
+    With both off this is the v1-exact selection semantics.
 
     ``xbig``/``ysqb`` carry +BIG at padded/invalid entries so they never
     win a min in either direction.
@@ -108,47 +121,85 @@ def _fwd_sweep_kernel(freq_ref, xt_ref, xbig_ref, yc_ref, ysqb_ref,
     wsq = w0 * w0 + w1 * w1 + w2 * w2 + xbig_ref[:]   # [1, N]
     n_tiles = m_pad // tm
 
-    def body(j, carry):
-        cmin, cidx = carry                             # [1, N] running
+    def dist_tile(j):
         sl = pl.ds(j * tm, tm)
-        y0 = yc_ref[sl, 0:1]                           # [tm, 1]
-        y1 = yc_ref[sl, 1:2]
-        y2 = yc_ref[sl, 2:3]
         ysq = ysqb_ref[sl, 0:1]                        # [tm, 1]
-        d = ysq + wsq - 2.0 * (y0 * w0 + y1 * w1 + y2 * w2)  # [tm, N]
-
-        # per-y (x index over lanes): finished within this tile
-        rmin_t = jnp.min(d, axis=1, keepdims=True)
-        lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        rarg_t = jnp.min(jnp.where(d <= rmin_t, lane, jnp.int32(2**30)),
-                         axis=1, keepdims=True)
-        rmin_ref[sl, :] = jnp.maximum(rmin_t, 0.0)
-        rarg_ref[sl, :] = rarg_t
-
-        # per-x (y index over sublanes): cross-tile running min
-        cmin_t = jnp.min(d, axis=0, keepdims=True)
-        sub = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-        carg_t = jnp.min(jnp.where(d <= cmin_t, sub, jnp.int32(2**30)),
-                         axis=0, keepdims=True) + j * tm
-        better = cmin_t < cmin
-        return (jnp.where(better, cmin_t, cmin),
-                jnp.where(better, carg_t, cidx))
+        if mxu_dist:
+            yneg2 = yc_ref[sl, :] * -2.0               # [tm, 3]
+            d = _dot_wide(yneg2, warped) + wsq + ysq   # [tm, N]
+        else:
+            y0 = yc_ref[sl, 0:1]                       # [tm, 1]
+            y1 = yc_ref[sl, 1:2]
+            y2 = yc_ref[sl, 2:3]
+            d = ysq + wsq - 2.0 * (y0 * w0 + y1 * w1 + y2 * w2)
+        return sl, d
 
     n_lanes = xt.shape[1]
-    init = (jnp.full((1, n_lanes), _BIG, jnp.float32),
-            jnp.zeros((1, n_lanes), jnp.int32))
-    cmin, cidx = jax.lax.fori_loop(0, n_tiles, body, init)
-    cmin_ref[:] = jnp.maximum(cmin, 0.0)
-    cidx_ref[:] = cidx
+    if packed:
+        def body(j, cpk):
+            sl, d = dist_tile(j)
+            bits = jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0),
+                                                jnp.int32)
+            # per-y (x index over lanes): finished within this tile
+            lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+            rpk = jnp.min((bits & ~_LOW_MASK) | lane, axis=1, keepdims=True)
+            rmin_ref[sl, :] = jax.lax.bitcast_convert_type(
+                rpk & ~_LOW_MASK, jnp.float32)
+            rarg_ref[sl, :] = rpk & _LOW_MASK
+
+            # per-x (y index over sublanes): the GLOBAL y index fits the
+            # low bits (m_pad <= 2048), so the cross-tile carry is one
+            # integer min of packed values
+            sub = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + j * tm
+            cpk_t = jnp.min((bits & ~_LOW_MASK) | sub, axis=0,
+                            keepdims=True)
+            return jnp.minimum(cpk, cpk_t)
+
+        init = jax.lax.bitcast_convert_type(
+            jnp.full((1, n_lanes), _BIG, jnp.float32), jnp.int32) | _LOW_MASK
+        cpk = jax.lax.fori_loop(0, n_tiles, body, init)
+        cmin_ref[:] = jax.lax.bitcast_convert_type(cpk & ~_LOW_MASK,
+                                                   jnp.float32)
+        cidx_ref[:] = cpk & _LOW_MASK
+    else:
+        def body(j, carry):
+            cmin, cidx = carry                         # [1, N] running
+            sl, d = dist_tile(j)
+
+            # per-y (x index over lanes): finished within this tile
+            rmin_t = jnp.min(d, axis=1, keepdims=True)
+            lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+            rarg_t = jnp.min(jnp.where(d <= rmin_t, lane, jnp.int32(2**30)),
+                             axis=1, keepdims=True)
+            rmin_ref[sl, :] = jnp.maximum(rmin_t, 0.0)
+            rarg_ref[sl, :] = rarg_t
+
+            # per-x (y index over sublanes): cross-tile running min
+            cmin_t = jnp.min(d, axis=0, keepdims=True)
+            sub = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+            carg_t = jnp.min(jnp.where(d <= cmin_t, sub, jnp.int32(2**30)),
+                             axis=0, keepdims=True) + j * tm
+            better = cmin_t < cmin
+            return (jnp.where(better, cmin_t, cmin),
+                    jnp.where(better, carg_t, cidx))
+
+        init = (jnp.full((1, n_lanes), _BIG, jnp.float32),
+                jnp.zeros((1, n_lanes), jnp.int32))
+        cmin, cidx = jax.lax.fori_loop(0, n_tiles, body, init)
+        cmin_ref[:] = jnp.maximum(cmin, 0.0)
+        cidx_ref[:] = cidx
 
 
-@functools.partial(jax.jit, static_argnames=("mlp_scale", "tm", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "mlp_scale", "tm", "interpret", "mxu_dist", "packed"))
 def _fwd_sweep_call(freq, xt_pad, xbig, yc_pad, ysqb, params_t,
-                    mlp_scale: float, tm: int, interpret: bool):
+                    mlp_scale: float, tm: int, interpret: bool,
+                    mxu_dist: bool = False, packed: bool = False):
     n_pad = xt_pad.shape[1]
     m_pad = yc_pad.shape[0]
     kernel = functools.partial(_fwd_sweep_kernel, mlp_scale=mlp_scale,
-                               tm=tm, m_pad=m_pad)
+                               tm=tm, m_pad=m_pad, mxu_dist=mxu_dist,
+                               packed=packed)
     if interpret:
         in_specs = [pl.BlockSpec()] * (5 + _N_PARAMS)
         out_specs = [pl.BlockSpec()] * 5
@@ -358,11 +409,23 @@ def supports_fused_iteration(pcfg, w_reg: float, n_ldmk: int) -> bool:
 # The compiled level loop (mirrors solve/loop.run_adam_loop semantics)
 # ---------------------------------------------------------------------------
 
+# Sweep-kernel micro-knobs (A/B harness: scripts/ab_fused_sweep.py):
+# mxu computes the [tm, N] cross term as one bf16x3 matmul instead of
+# ~7 VPU broadcast passes; packed uses the ops/knn v3 one-integer-min
+# selection (auto-gated to n_pad/m_pad <= 2048 — 11 index bits).
+# Default OFF until the on-chip A/B lands (DP_SWEEP_MXU=1 /
+# DP_SWEEP_PACKED=1 enable).
+_SWEEP_MXU_DIST = os.environ.get("DP_SWEEP_MXU", "0") == "1"
+_SWEEP_PACKED = os.environ.get("DP_SWEEP_PACKED", "0") == "1"
+
+
 def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
                     t_sample: Array, t_valid: Array, level: Array,
                     pcfg, lcfg, trunc: float = 1e9,
                     tm: int = 512, tn: int = 1024,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None,
+                    mxu_dist: bool | None = None,
+                    packed: bool | None = None):
     """Adam-optimize one pyramid level with the two-kernel iteration.
 
     Drop-in for the unfused ``_solve_level`` body (chamfer mode): same
@@ -377,6 +440,11 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
     n_pad = _round_up(max(n, 128), 128)
     tm = min(tm, _round_up(max(m, 8), 8))
     m_pad = _round_up(max(m, tm), tm)
+    if mxu_dist is None:
+        mxu_dist = _SWEEP_MXU_DIST
+    if packed is None:
+        packed = _SWEEP_PACKED
+    packed = packed and n_pad <= 2048 and m_pad <= 2048
 
     xt_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(
         pts.astype(jnp.float32).T)
@@ -401,7 +469,8 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
     def body(c):
         warped_t, _, cidx, _, rarg = _fwd_sweep_call(
             freq, xt_pad, xbig, yc_pad, ysqb, c["p"],
-            mlp_scale=mlp_scale, tm=tm, interpret=interpret)
+            mlp_scale=mlp_scale, tm=tm, interpret=interpret,
+            mxu_dist=mxu_dist, packed=packed)
         loss, g_t = _chamfer_glue(warped_t, cidx, rarg, yc_pad, xv, yv,
                                   x_len, y_len, trunc)
         small = loss < lcfg.loss_eps

@@ -18,16 +18,24 @@ from deformationpyramid_tpu.ops import fused_level as _fl
 
 @pytest.fixture(autouse=True)
 def _exact_wide_dots():
-    """Pin the in-kernel wide matmuls to HIGHEST for parity tests: the
+    """Pin the in-kernel wide matmuls to HIGHEST and the sweep to the
+    exact (unpacked, VPU-distance) selection for parity tests: the
     default bf16x3 mode drops the lo*lo term (~2^-16 relative — see
-    ops/fused_level._dot_wide), which is fine on-chip but would make
-    trajectory-equality assertions flaky."""
-    prev = _fl._WIDE_MODE
+    ops/fused_level._dot_wide) and the packed selection truncates 11
+    mantissa bits, either of which would make trajectory-equality
+    assertions flaky. The production knobs are covered at near-tie
+    tolerance by test_fwd_sweep_kernel_mxu_packed_variants and
+    test_run_fused_level_default_knobs."""
+    from deformationpyramid_tpu.ops import fused_iteration as _fi
+
+    prev = (_fl._WIDE_MODE, _fi._SWEEP_MXU_DIST, _fi._SWEEP_PACKED)
     _fl._WIDE_MODE = "highest"
+    _fi._SWEEP_MXU_DIST = False
+    _fi._SWEEP_PACKED = False
     try:
         yield
     finally:
-        _fl._WIDE_MODE = prev
+        _fl._WIDE_MODE, _fi._SWEEP_MXU_DIST, _fi._SWEEP_PACKED = prev
 
 from deformationpyramid_tpu.models.pyramid import (
     NDPConfig, init_pyramid_params, level_params, level_warp,
@@ -108,6 +116,43 @@ def test_fwd_sweep_kernel_matches_reference():
     assert (np.asarray(rarg)[:m, 0] == d.argmin(0)).all()
     assert np.allclose(np.asarray(cmin)[0, :n], d.min(1), atol=1e-5)
     assert np.allclose(np.asarray(rmin)[:m, 0], d.min(0), atol=1e-5)
+
+
+def test_fwd_sweep_kernel_mxu_packed_variants():
+    """The MXU-distance and packed-selection knobs keep exact warped
+    points; indices may deviate from the exact argmin only on near-ties
+    (the packed form's ~1.2e-4-relative mantissa truncation; _dot_wide
+    is exact under the HIGHEST pin of this suite)."""
+    pts, tgt, lvl_p = _setup(n=210, m=330, seed=7)
+    xt_pad, xbig, yc, ysqb, xv, yv, freq, tm, n_pad, m_pad = _pad_inputs(
+        pts, tgt)
+    ref_warped, _ = level_warp(lvl_p, pts, 1, CFG)
+    n, m = pts.shape[0], tgt.shape[0]
+    d = ((np.asarray(ref_warped)[:, None] - np.asarray(tgt)[None]) ** 2
+         ).sum(-1)
+
+    def near_tie_ok(idx, ref_idx, dmat, axis_min, tag):
+        flips = idx != ref_idx
+        if not flips.any():
+            return
+        chosen = np.take_along_axis(
+            dmat, idx[:, None], 1)[:, 0] if dmat.ndim == 2 else dmat[idx]
+        rel = (chosen[flips] - axis_min[flips]) / np.maximum(
+            axis_min[flips], 1e-30)
+        assert rel.max() < 3e-4, (tag, rel.max())
+
+    for mxu in (False, True):
+        for packed in (False, True):
+            warped_t, cmin, cidx, rmin, rarg = _fwd_sweep_call(
+                freq, xt_pad, xbig, yc, ysqb, params_to_t(lvl_p),
+                mlp_scale=CFG.mlp_scale, tm=tm, interpret=True,
+                mxu_dist=mxu, packed=packed)
+            got = np.asarray(warped_t).T[:n]
+            assert np.abs(got - np.asarray(ref_warped)).max() < 1e-5
+            near_tie_ok(np.asarray(cidx)[0, :n], d.argmin(1), d,
+                        d.min(1), ("x2y", mxu, packed))
+            near_tie_ok(np.asarray(rarg)[:m, 0], d.argmin(0), d.T,
+                        d.min(0), ("y2x", mxu, packed))
 
 
 def test_glue_matches_truncated_chamfer():
@@ -208,6 +253,31 @@ def test_run_fused_level_matches_run_adam_loop():
         for kk in ref_p[k]:
             a, b = np.asarray(ref_p[k][kk]), np.asarray(new_p[k][kk])
             assert np.abs(a - b).max() < 1e-3, (k, kk)
+
+
+def test_run_fused_level_default_knobs():
+    """The production sweep knobs (MXU distances + packed selection)
+    converge equivalently to the exact-selection path: same order of
+    iterations, loss within the near-tie band, warped cloud within f32
+    drift."""
+    pts, tgt, lvl_p = _setup(n=180, m=200, seed=5)
+    lcfg = LoopConfig(iters=25, lr=0.01, max_break_count=15,
+                      break_threshold_ratio=0.001)
+    pts_valid = jnp.ones((pts.shape[0],), bool)
+    t_valid = jnp.ones((tgt.shape[0],), bool)
+
+    outs = []
+    for knobs in (False, True):
+        p, warped, stats = run_fused_level(
+            lvl_p, pts, pts_valid, tgt, t_valid, jnp.int32(1), CFG, lcfg,
+            interpret=True, mxu_dist=knobs, packed=knobs)
+        outs.append((warped, stats))
+    (w0, s0), (w1, s1) = outs
+    assert abs(int(s0["iters"]) - int(s1["iters"])) <= 2
+    assert abs(float(s0["loss"]) - float(s1["loss"])) < 5e-4
+    # a near-tie flip early in the loop perturbs the Adam trajectory;
+    # same band as the register_pair fused/unfused equivalence below
+    assert np.abs(np.asarray(w0) - np.asarray(w1)).max() < 2e-2
 
 
 def test_register_pair_fused_iteration_equivalence():
