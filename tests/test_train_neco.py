@@ -285,3 +285,58 @@ def test_train_neco_val_selection_and_history(tmp_path):
             (tmp_path / "snap" / "history.jsonl").read_text().splitlines()]
     assert [r["phase"] for r in rows] == ["train", "val", "train", "val"]
     assert all(np.isfinite(r["loss"]) and np.isfinite(r["lr"]) for r in rows)
+
+
+def test_make_matcher_batch_stream(tmp_path):
+    """The train_matcher CLI's batch builder: pow2 symmetric caps, GT
+    matches that geometrically correspond under the stored (rot, trans),
+    coarse flow restricted to true source rows, and a cache that replays
+    identical batches across epochs."""
+    from deformationpyramid_tpu.cli.train_matcher import (
+        _pow2, make_matcher_batch_stream,
+    )
+    from deformationpyramid_tpu.data.fourdmatch import FourDMatchDataset
+    from tests.test_eval_cli import write_synthetic_4dmatch
+
+    root = str(tmp_path / "split")
+    write_synthetic_4dmatch(root, "train", n_pairs=2, n_pts=350)
+    ds = FourDMatchDataset(root, "train", augment=False)
+    lcfg = _tiny_lcfg()
+    kcfg = lcfg.matcher.kpfcn
+    limits = calibrate_neighborhood_limits(
+        [(ds[0].src, ds[0].tgt)], kcfg, KPFCN_ARCHITECTURE)
+    stream = make_matcher_batch_stream(ds, lcfg, limits,
+                                       coarse_match_radius=0.3)
+
+    batches = list(stream())
+    assert len(batches) == 2
+    cl = lcfg.matcher.coarse_level
+    for b, i in zip(batches, range(2)):
+        s_len = int(b["src_len_c"])
+        t_len = int(b["tgt_len_c"])
+        cap = b["s_cap"]
+        assert b["t_cap"] == cap                      # symmetric caps
+        assert cap == _pow2(max(s_len, t_len))        # pow2 bucketing
+        valid = np.asarray(b["match_gt_valid"])
+        gt = np.asarray(b["match_gt"])
+        assert valid.any(), "no GT coarse matches built"
+        assert (gt[valid, 0] < s_len).all()
+        assert (gt[valid, 1] < t_len).all()
+        # geometric consistency: GT-warped matched src coarse points land
+        # within the search radius of their matched tgt coarse points
+        coarse = np.asarray(b["pyramid"]["points"][cl])
+        c_src = coarse[:s_len]
+        c_tgt = coarse[s_len:s_len + t_len]
+        c_flow = np.asarray(b["coarse_flow"])[:s_len]
+        rot = np.asarray(b["gt_rot"])
+        trn = np.asarray(b["gt_trn"])
+        warped = (rot @ (c_src + c_flow).T + trn).T
+        d = np.linalg.norm(warped[gt[valid, 0]] - c_tgt[gt[valid, 1]],
+                           axis=-1)
+        assert (d < 0.3).all(), d.max()
+        # padded coarse-flow rows stay zero
+        assert not np.asarray(b["coarse_flow"])[s_len:].any()
+
+    # cache=True replays the same batch objects (no re-collate per epoch)
+    again = list(stream())
+    assert all(a is b for a, b in zip(batches, again))
