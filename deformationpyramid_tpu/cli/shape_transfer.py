@@ -43,7 +43,16 @@ def register_meshes(src_pts: np.ndarray, tgt_pts: np.ndarray,
     optimize every level on the full samples (no subsampling in the demo),
     then warp the original mesh vertices through all fitted levels and
     translate into the target frame. One jitted program end-to-end.
+
+    ``DP_FUSED_ITER=1`` routes the level solves through the two-kernel
+    fused iteration (``ops/fused_iteration.py`` — Sim3+euler is covered;
+    opt-in here until the demo shapes are validated on-chip).
     """
+    import os
+
+    if cfg.use_fused_iteration is None and os.environ.get(
+            "DP_FUSED_ITER") == "1":
+        cfg = dataclasses.replace(cfg, use_fused_iteration=True)
 
     @jax.jit
     def run(key, src, tgt, verts):

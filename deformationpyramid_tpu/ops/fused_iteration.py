@@ -32,10 +32,11 @@ Semantics: matches ``solve/loop.run_adam_loop`` + ``truncated_chamfer``
 exactly (loss formula, 3-way early stop, pre-step aux handoff, optax Adam
 with bias correction); numerics differ only by f32 reassociation and the
 in-kernel bf16x3 wide matmuls (``ops/fused_level._dot_wide``). Parity is
-pinned by tests/test_fused_iteration.py. Covers the benchmark config
-(SE3 + axis_angle, no nonrigidity, chamfer mode — reference
-``config/NDP.yaml``, hot loop ``/root/reference/model/registration.py:
-184-238``); other configs use the unfused path.
+pinned by tests/test_fused_iteration.py. Covers the chamfer-mode
+SE3/Sim3 configs with axis_angle or euler rotations — the benchmark
+``config/NDP.yaml`` and the Sim3 shape-transfer demo (hot loop
+``/root/reference/model/registration.py:184-238``); landmark mode,
+nonrigidity, and the remaining rotation formats use the unfused path.
 """
 from __future__ import annotations
 
@@ -81,11 +82,17 @@ def _on_tpu() -> bool:
 
 _N_PARAMS = 9  # w_sin_t, w_cos_t, b_in_t, wh_t, bh_t, w_rot_t, b_rot_t,
 #                w_trn_t, b_trn_t — the _forward_math_t parameter order
+#                (+2 for Sim3: w_scl_t, b_scl_t; see params_to_t)
+
+
+def _n_params(motion: str) -> int:
+    return _N_PARAMS + (2 if motion == "Sim3" else 0)
 
 
 def _fwd_sweep_kernel(freq_ref, xt_ref, xbig_ref, yc_ref, ysqb_ref,
                       *refs, mlp_scale: float, tm: int, m_pad: int,
-                      mxu_dist: bool, packed: bool):
+                      mxu_dist: bool, packed: bool,
+                      motion: str, rotation_format: str):
     """Warp the level's points, then sweep distance tiles for both 1-NN
     directions.
 
@@ -109,11 +116,14 @@ def _fwd_sweep_kernel(freq_ref, xt_ref, xbig_ref, yc_ref, ysqb_ref,
     ``xbig``/``ysqb`` carry +BIG at padded/invalid entries so they never
     win a min in either direction.
     """
-    p_refs = refs[:_N_PARAMS]
-    warped_ref, cmin_ref, cidx_ref, rmin_ref, rarg_ref = refs[_N_PARAMS:]
+    np_ = _n_params(motion)
+    p_refs = refs[:np_]
+    warped_ref, cmin_ref, cidx_ref, rmin_ref, rarg_ref = refs[np_:]
     xt = xt_ref[:]
     freq = freq_ref[0, 0]
-    warped = _forward_math_t(xt, freq, *[r[:] for r in p_refs], mlp_scale)
+    warped = _forward_math_t(xt, freq, *[r[:] for r in p_refs],
+                             mlp_scale=mlp_scale, motion=motion,
+                             rotation_format=rotation_format)
     warped_ref[:] = warped
     w0 = warped[0:1, :]
     w1 = warped[1:2, :]
@@ -191,22 +201,27 @@ def _fwd_sweep_kernel(freq_ref, xt_ref, xbig_ref, yc_ref, ysqb_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mlp_scale", "tm", "interpret", "mxu_dist", "packed"))
+    "mlp_scale", "tm", "interpret", "mxu_dist", "packed", "motion",
+    "rotation_format"))
 def _fwd_sweep_call(freq, xt_pad, xbig, yc_pad, ysqb, params_t,
                     mlp_scale: float, tm: int, interpret: bool,
-                    mxu_dist: bool = False, packed: bool = False):
+                    mxu_dist: bool = False, packed: bool = False,
+                    motion: str = "SE3",
+                    rotation_format: str = "axis_angle"):
     n_pad = xt_pad.shape[1]
     m_pad = yc_pad.shape[0]
+    np_ = len(params_t)
     kernel = functools.partial(_fwd_sweep_kernel, mlp_scale=mlp_scale,
                                tm=tm, m_pad=m_pad, mxu_dist=mxu_dist,
-                               packed=packed)
+                               packed=packed, motion=motion,
+                               rotation_format=rotation_format)
     if interpret:
-        in_specs = [pl.BlockSpec()] * (5 + _N_PARAMS)
+        in_specs = [pl.BlockSpec()] * (5 + np_)
         out_specs = [pl.BlockSpec()] * 5
     else:
         in_specs = ([pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
                     + [pl.BlockSpec(memory_space=pltpu.VMEM)]
-                    * (4 + _N_PARAMS))
+                    * (4 + np_))
         out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
     out_shape = [
         jax.ShapeDtypeStruct((3, n_pad), jnp.float32),   # warped
@@ -272,24 +287,27 @@ def _chamfer_glue(warped_t: Array, cidx: Array, rarg: Array, yc: Array,
 
 def _bwd_adam_kernel(freq_ref, step_ref, done_ref, xt_ref, g_ref, *refs,
                      mlp_scale: float, lr: float, b1: float, b2: float,
-                     eps: float):
+                     eps: float, motion: str, rotation_format: str):
     """Grid over N lane-tiles: per tile, jax.vjp of the recomputed warp
     accumulates parameter gradients into VMEM scratch; the LAST tile
     applies the optax-exact Adam update (bias correction by applied-step
     count) gated by ``done`` (1.0 = hold params/moments, the solver's
     no-step-after-break semantics)."""
-    p_refs = refs[:_N_PARAMS]
-    m_refs = refs[_N_PARAMS:2 * _N_PARAMS]
-    v_refs = refs[2 * _N_PARAMS:3 * _N_PARAMS]
-    out_refs = refs[3 * _N_PARAMS:6 * _N_PARAMS]   # newp(9) ; newm(9) ; newv(9)
-    g_scr = refs[6 * _N_PARAMS:]
+    np_ = _n_params(motion)
+    p_refs = refs[:np_]
+    m_refs = refs[np_:2 * np_]
+    v_refs = refs[2 * np_:3 * np_]
+    out_refs = refs[3 * np_:6 * np_]   # newp ; newm ; newv
+    g_scr = refs[6 * np_:]
     i = pl.program_id(0)
     n_grid = pl.num_programs(0)
     xt = xt_ref[:]
     freq = freq_ref[0, 0]
 
     def f(*params):
-        return _forward_math_t(xt, freq, *params, mlp_scale)
+        return _forward_math_t(xt, freq, *params, mlp_scale=mlp_scale,
+                               motion=motion,
+                               rotation_format=rotation_format)
 
     _, vjp = jax.vjp(f, *[r[:] for r in p_refs])
     grads = vjp(g_ref[:])
@@ -313,9 +331,9 @@ def _bwd_adam_kernel(freq_ref, step_ref, done_ref, xt_ref, g_ref, *refs,
         bc1 = 1.0 - jnp.exp(t * math.log(b1))
         bc2 = 1.0 - jnp.exp(t * math.log(b2))
         hold = done_ref[0, 0] > 0.5
-        newp = out_refs[:_N_PARAMS]
-        newm = out_refs[_N_PARAMS:2 * _N_PARAMS]
-        newv = out_refs[2 * _N_PARAMS:]
+        newp = out_refs[:np_]
+        newm = out_refs[np_:2 * np_]
+        newv = out_refs[2 * np_:]
         for pr, mr, vr, npr, nmr, nvr, gs in zip(
                 p_refs, m_refs, v_refs, newp, newm, newv, g_scr):
             g = gs[:]
@@ -328,15 +346,19 @@ def _bwd_adam_kernel(freq_ref, step_ref, done_ref, xt_ref, g_ref, *refs,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mlp_scale", "lr", "b1", "b2", "eps", "tn", "interpret"))
+    "mlp_scale", "lr", "b1", "b2", "eps", "tn", "interpret", "motion",
+    "rotation_format"))
 def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
                    mlp_scale: float, lr: float, b1: float, b2: float,
-                   eps: float, tn: int, interpret: bool):
+                   eps: float, tn: int, interpret: bool,
+                   motion: str = "SE3",
+                   rotation_format: str = "axis_angle"):
     n_pad = xt_pad.shape[1]
     tn = min(tn, n_pad)
     grid = (n_pad // tn,)
     kernel = functools.partial(_bwd_adam_kernel, mlp_scale=mlp_scale,
-                               lr=lr, b1=b1, b2=b2, eps=eps)
+                               lr=lr, b1=b1, b2=b2, eps=eps, motion=motion,
+                               rotation_format=rotation_format)
     mem = {} if interpret else {"memory_space": pltpu.VMEM}
     smem = {} if interpret else {"memory_space": pltpu.SMEM}
 
@@ -365,7 +387,7 @@ def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
         scratch_shapes=scratch,
         interpret=interpret,
     )(freq, step, done, xt_pad, g_t, *params_t, *m_t, *v_t)
-    n = _N_PARAMS
+    n = len(params_t)
     return list(outs[:n]), list(outs[n:2 * n]), list(outs[2 * n:])
 
 
@@ -374,33 +396,45 @@ def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
 # ---------------------------------------------------------------------------
 
 def params_to_t(p: dict) -> list[Array]:
-    """One level's param dict -> the 9 transposed tensors of
-    ``_forward_math_t`` (same plumbing as ``fused_level_warp_t``)."""
+    """One level's param dict -> the transposed tensors of
+    ``_forward_math_t`` (same plumbing as ``fused_level_warp_t``):
+    9 for SE3, +2 (scale head) when the dict carries Sim3's."""
     w_in = p["input"]["w"].reshape(3, 2, -1)
-    return [
+    t = [
         w_in[:, 0].T, w_in[:, 1].T, p["input"]["b"].reshape(-1, 1),
         jnp.swapaxes(p["hidden"]["w"], -1, -2), p["hidden"]["b"][..., None],
         p["rot"]["w"].T, p["rot"]["b"].reshape(-1, 1),
         p["trn"]["w"].T, p["trn"]["b"].reshape(-1, 1),
     ]
+    if "scale" in p:
+        t += [p["scale"]["w"].T, p["scale"]["b"].reshape(-1, 1)]
+    return t
 
 
 def t_to_params(t: list[Array]) -> dict:
     """Inverse of :func:`params_to_t` (exact: transposes/reshapes only)."""
-    w_sin_t, w_cos_t, b_in, wh_t, bh, w_rot_t, b_rot, w_trn_t, b_trn = t
+    (w_sin_t, w_cos_t, b_in, wh_t, bh, w_rot_t, b_rot, w_trn_t, b_trn,
+     *t_scl) = t
     w_in = jnp.stack([w_sin_t.T, w_cos_t.T], axis=1)   # [3, 2, w]
-    return {
+    out = {
         "input": {"w": w_in.reshape(6, -1), "b": b_in[:, 0]},
         "hidden": {"w": jnp.swapaxes(wh_t, -1, -2), "b": bh[..., 0]},
         "rot": {"w": w_rot_t.T, "b": b_rot[:, 0]},
         "trn": {"w": w_trn_t.T, "b": b_trn[:, 0]},
     }
+    if t_scl:
+        w_scl_t, b_scl = t_scl
+        out["scale"] = {"w": w_scl_t.T, "b": b_scl[:, 0]}
+    return out
 
 
 def supports_fused_iteration(pcfg, w_reg: float, n_ldmk: int) -> bool:
-    """The two-kernel path covers the benchmark config: SE3 + axis_angle,
-    no nonrigidity branch, pure-chamfer objective, >=1 hidden layer."""
-    return (pcfg.motion == "SE3" and pcfg.rotation_format == "axis_angle"
+    """The two-kernel path covers the rigid/similarity chamfer configs:
+    SE3 or Sim3 motion, axis_angle or euler rotations (the benchmark
+    NDP.yaml and the Sim3 shape-transfer demo), no nonrigidity branch,
+    pure-chamfer objective, >=1 hidden layer."""
+    return (pcfg.motion in ("SE3", "Sim3")
+            and pcfg.rotation_format in ("axis_angle", "euler")
             and not pcfg.nonrigidity_est and pcfg.depth >= 2
             and w_reg == 0 and n_ldmk == 0)
 
@@ -438,6 +472,13 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
     n = pts.shape[0]
     m = t_sample.shape[0]
     n_pad = _round_up(max(n, 128), 128)
+    # VMEM: the [tm, n_pad] distance block (+ its iota/packing
+    # temporaries) dominates kernel 1; cap tm so tm * n_pad stays at the
+    # bench-validated 2^20-element working set (tm=512 @ n_pad=2048,
+    # ~4 MB f32 per live block). Larger clouds (e.g. the 6000-sample
+    # shape-transfer demo) step tm down instead of overflowing scoped
+    # VMEM.
+    tm = min(tm, max(8, ((1 << 20) // n_pad) // 8 * 8))
     tm = min(tm, _round_up(max(m, 8), 8))
     m_pad = _round_up(max(m, tm), tm)
     if mxu_dist is None:
@@ -466,11 +507,15 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
     def cond(c):
         return (c["it"] < lcfg.iters) & jnp.logical_not(c["done"])
 
+    motion = pcfg.motion
+    rotation_format = pcfg.rotation_format
+
     def body(c):
         warped_t, _, cidx, _, rarg = _fwd_sweep_call(
             freq, xt_pad, xbig, yc_pad, ysqb, c["p"],
             mlp_scale=mlp_scale, tm=tm, interpret=interpret,
-            mxu_dist=mxu_dist, packed=packed)
+            mxu_dist=mxu_dist, packed=packed, motion=motion,
+            rotation_format=rotation_format)
         loss, g_t = _chamfer_glue(warped_t, cidx, rarg, yc_pad, xv, yv,
                                   x_len, y_len, trunc)
         small = loss < lcfg.loss_eps
@@ -482,7 +527,8 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
             freq, c["applied"].astype(jnp.float32).reshape(1, 1),
             done.astype(jnp.float32).reshape(1, 1), xt_pad, g_t,
             c["p"], c["m"], c["v"], mlp_scale=mlp_scale, lr=lcfg.lr,
-            b1=0.9, b2=0.999, eps=1e-8, tn=tn, interpret=interpret)
+            b1=0.9, b2=0.999, eps=1e-8, tn=tn, interpret=interpret,
+            motion=motion, rotation_format=rotation_format)
         return {
             "p": newp, "m": newm, "v": newv,
             "loss_prev": jnp.where(done, c["loss_prev"], loss),

@@ -306,11 +306,29 @@ def _dot_wide(a: Array, b: Array) -> Array:
     return d(a_hi, b_lo) + d(a_lo, b_hi) + d(a_hi, b_hi)
 
 
-def _forward_math_t(xt, freq, w_sin_t, w_cos_t, b_in_t, wh_t, bh_t,
-                    w_rot_t, b_rot_t, w_trn_t, b_trn_t, mlp_scale: float):
+def _row_basis() -> tuple[Array, Array, Array]:
+    """[3, 1] one-hot columns: combine three [1, N] rows into [3, N] by
+    broadcast-multiply-add (Mosaic-legal, unlike sublane concatenation)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
+    return tuple((rows == i).astype(jnp.float32) for i in range(3))
+
+
+def _forward_math_t(xt, freq, *p, mlp_scale: float, motion: str = "SE3",
+                    rotation_format: str = "axis_angle"):
     """Transposed :func:`_forward_math`: [3, N] points, [out, in] weights,
     [out, 1] biases. Same math/quirks (posenc without pi, mlp_scale,
-    1e-12 norm floor); parity pinned by tests/test_fused_level.py."""
+    1e-12 norm floor, Sim3 ``mlp_scale*s + 1`` — reference
+    ``nets.py:111-140``); parity pinned by tests/test_fused_level.py and
+    tests/test_fused_iteration.py.
+
+    ``p`` is the 9-tensor SE3 parameter order (w_sin_t, w_cos_t, b_in_t,
+    wh_t, bh_t, w_rot_t, b_rot_t, w_trn_t, b_trn_t) plus (w_scl_t,
+    b_scl_t) appended for Sim3. Rotation formats: "axis_angle"
+    (matrix-free Rodrigues) and "euler" (XYZ convention,
+    ``rigid_body.py:19-56``: R = Rx @ Ry @ Rz with per-point angles).
+    """
+    (w_sin_t, w_cos_t, b_in_t, wh_t, bh_t,
+     w_rot_t, b_rot_t, w_trn_t, b_trn_t, *p_scl) = p
     s = jnp.sin(xt * freq)
     c = jnp.cos(xt * freq)
     h = _dot_wide(w_sin_t, s) + _dot_wide(w_cos_t, c) + b_in_t
@@ -319,21 +337,43 @@ def _forward_math_t(xt, freq, w_sin_t, w_cos_t, b_in_t, wh_t, bh_t,
         h = jnp.maximum(_dot_wide(wh_t[l], h) + bh_t[l], 0.0)
     r = mlp_scale * (_dot(w_rot_t, h) + b_rot_t)
     t = mlp_scale * (_dot(w_trn_t, h) + b_trn_t)
-    theta = jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=0, keepdims=True),
-                                 1e-12))
-    w = r / theta
-    st = jnp.sin(theta)
-    ct = jnp.cos(theta)
-    wxx = _cross_t(w, xt)
-    wdx = jnp.sum(w * xt, axis=0, keepdims=True)
-    return xt + st * wxx + (1.0 - ct) * (w * wdx - xt) + t
+    if rotation_format == "axis_angle":
+        theta = jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=0, keepdims=True),
+                                     1e-12))
+        w = r / theta
+        st = jnp.sin(theta)
+        ct = jnp.cos(theta)
+        wxx = _cross_t(w, xt)
+        wdx = jnp.sum(w * xt, axis=0, keepdims=True)
+        rx = xt + st * wxx + (1.0 - ct) * (w * wdx - xt)
+    elif rotation_format == "euler":
+        # R = Rx(a) @ Ry(b) @ Rz(c) with per-point angle rows; rows of
+        # R @ x assembled via one-hot broadcasts (no sublane concat).
+        sa, ca = jnp.sin(r[0:1, :]), jnp.cos(r[0:1, :])
+        sb, cb = jnp.sin(r[1:2, :]), jnp.cos(r[1:2, :])
+        sc, cc = jnp.sin(r[2:3, :]), jnp.cos(r[2:3, :])
+        x0, x1, x2 = xt[0:1, :], xt[1:2, :], xt[2:3, :]
+        row0 = cb * cc * x0 - cb * sc * x1 + sb * x2
+        row1 = ((ca * sc + sa * sb * cc) * x0
+                + (ca * cc - sa * sb * sc) * x1 - sa * cb * x2)
+        row2 = ((sa * sc - ca * sb * cc) * x0
+                + (sa * cc + ca * sb * sc) * x1 + ca * cb * x2)
+        e0, e1, e2 = _row_basis()
+        rx = e0 * row0 + e1 * row1 + e2 * row2
+    else:  # pragma: no cover - guarded by supports_fused_iteration
+        raise NotImplementedError(rotation_format)
+    if motion == "Sim3":
+        w_scl_t, b_scl_t = p_scl
+        scl = mlp_scale * (_dot(w_scl_t, h) + b_scl_t) + 1.0
+        return scl * rx + t
+    return rx + t
 
 
 def _fwd_kernel_t(freq_ref, xt_ref, *param_refs, mlp_scale: float):
     out_ref = param_refs[-1]
     out_ref[:] = _forward_math_t(
         xt_ref[:], freq_ref[0, 0], *[r[:] for r in param_refs[:-1]],
-        mlp_scale)
+        mlp_scale=mlp_scale)
 
 
 def _bwd_kernel_t(freq_ref, xt_ref, *refs, mlp_scale: float):
@@ -348,7 +388,7 @@ def _bwd_kernel_t(freq_ref, xt_ref, *refs, mlp_scale: float):
     freq = freq_ref[0, 0]
 
     def f(*params):
-        return _forward_math_t(xt, freq, *params, mlp_scale)
+        return _forward_math_t(xt, freq, *params, mlp_scale=mlp_scale)
 
     _, vjp = jax.vjp(f, *[r[:] for r in param_refs])
     grads = vjp(g_ref[:])

@@ -91,8 +91,14 @@ def test_supports_gate():
     assert supports_fused_iteration(CFG, 0.0, 0)
     assert not supports_fused_iteration(CFG, 0.5, 0)
     assert not supports_fused_iteration(CFG, 0.0, 5)
-    assert not supports_fused_iteration(
+    assert supports_fused_iteration(
         NDPConfig(motion="Sim3", rotation_format="axis_angle"), 0.0, 0)
+    assert supports_fused_iteration(
+        NDPConfig(motion="Sim3", rotation_format="euler"), 0.0, 0)
+    assert not supports_fused_iteration(
+        NDPConfig(motion="sflow", rotation_format="axis_angle"), 0.0, 0)
+    assert not supports_fused_iteration(
+        NDPConfig(rotation_format="quaternion"), 0.0, 0)
     assert not supports_fused_iteration(
         NDPConfig(depth=1, rotation_format="axis_angle"), 0.0, 0)
 
@@ -246,6 +252,54 @@ def test_run_fused_level_matches_run_adam_loop():
     ref_p, ref_warped, ref_stats = run_adam_loop(loss_fn, lvl_p, lcfg,
                                                  aux_init=pts)
 
+    assert int(stats["iters"]) == int(ref_stats["iters"])
+    assert abs(float(stats["loss"]) - float(ref_stats["loss"])) < 1e-4
+    assert np.abs(np.asarray(warped) - np.asarray(ref_warped)).max() < 1e-3
+    for k in ref_p:
+        for kk in ref_p[k]:
+            a, b = np.asarray(ref_p[k][kk]), np.asarray(new_p[k][kk])
+            assert np.abs(a - b).max() < 1e-3, (k, kk)
+
+
+@pytest.mark.parametrize("motion,rot", [
+    ("SE3", "euler"), ("Sim3", "axis_angle"), ("Sim3", "euler")])
+def test_run_fused_level_motion_rotation_variants(motion, rot):
+    """Sim3/euler coverage (the shape-transfer demo config family):
+    kernel warp == level_warp, and the full fused level matches the
+    unfused Adam loop — same early-stop count, loss/params/warped within
+    f32 drift."""
+    cfg = NDPConfig(m=4, k0=-6, depth=3, width=64,
+                    rotation_format=rot, motion=motion)
+    pts, tgt, _ = _setup(n=180, m=200, seed=8)
+    params = init_pyramid_params(jax.random.key(8), cfg)
+    lvl_p = level_params(params, 1)
+
+    # kernel-level warp parity
+    xt_pad, xbig, yc, ysqb, xv, yv, freq, tm, n_pad, m_pad = _pad_inputs(
+        pts, tgt)
+    warped_t, _, _, _, _ = _fwd_sweep_call(
+        freq, xt_pad, xbig, yc, ysqb, params_to_t(lvl_p),
+        mlp_scale=cfg.mlp_scale, tm=tm, interpret=True,
+        motion=motion, rotation_format=rot)
+    ref_warped, _ = level_warp(lvl_p, pts, 1, cfg)
+    got = np.asarray(warped_t).T[:pts.shape[0]]
+    assert np.abs(got - np.asarray(ref_warped)).max() < 1e-5
+
+    # full-level equivalence vs the unfused loop
+    lcfg = LoopConfig(iters=25, lr=0.01, max_break_count=15,
+                      break_threshold_ratio=0.001)
+    pts_valid = jnp.ones((pts.shape[0],), bool)
+    t_valid = jnp.ones((tgt.shape[0],), bool)
+    new_p, warped, stats = run_fused_level(
+        lvl_p, pts, pts_valid, tgt, t_valid, jnp.int32(1), cfg, lcfg,
+        interpret=True)
+
+    def loss_fn(p, it, key):
+        w, _ = level_warp(p, pts, 1, cfg)
+        return truncated_chamfer(w, tgt, use_pallas=False), w
+
+    ref_p, ref_warped, ref_stats = run_adam_loop(loss_fn, lvl_p, lcfg,
+                                                 aux_init=pts)
     assert int(stats["iters"]) == int(ref_stats["iters"])
     assert abs(float(stats["loss"]) - float(ref_stats["loss"])) < 1e-4
     assert np.abs(np.asarray(warped) - np.asarray(ref_warped)).max() < 1e-3
