@@ -38,10 +38,11 @@ from ..utils.timers import Timers
 
 
 def _fused_iter_default(cfg: AttrDict) -> bool | None:
-    """Two-kernel fused iteration for the eval sweep: YAML key >
+    """Fused-iteration solver kernels for the eval sweep: YAML key >
     DP_FUSED_ITER env > auto (on when the backend is TPU). The
-    per-config applicability gate (`supports_fused_iteration`) still
-    decides per solve; unsupported configs (w_reg>0, landmarks, Sim3)
+    per-config applicability gates (`supports_fused_iteration` /
+    `supports_fused_iteration_ldmk`) still decide per solve;
+    unsupported configs (w_reg>0, quaternion/6D rotations, sflow)
     silently use the unfused path."""
     if "use_fused_iteration" in cfg:
         return bool(cfg["use_fused_iteration"])

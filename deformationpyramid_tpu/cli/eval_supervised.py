@@ -35,7 +35,7 @@ from ..utils.checkpoint import load_pytree
 from ..utils.config import load_config
 from ..utils.logging import AverageMeter, Logger, write_run_provenance
 from ..utils.timers import Timers
-from .eval_nolearned import _metric_device
+from .eval_nolearned import _fused_iter_default, _metric_device
 
 
 # NOTE on shape buckets: shape diversity is the whole cost model here —
@@ -323,7 +323,8 @@ def main():
                           motion=cfg.get("motion_type", "SE3")),
         iters=cfg.get("iters", 500), lr=cfg.get("lr", 0.01),
         samples=cfg.get("samples", 2000),
-        w_cd=cfg.get("w_cd", 0.0), trunc_cd=cfg.get("trunc_cd", 0.25))
+        w_cd=cfg.get("w_cd", 0.0), trunc_cd=cfg.get("trunc_cd", 0.25),
+        use_fused_iteration=_fused_iter_default(cfg))
 
     params = init_landmark_model(jax.random.key(0), lcfg)
     if args.weights:

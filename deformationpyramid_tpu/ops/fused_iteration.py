@@ -32,11 +32,12 @@ Semantics: matches ``solve/loop.run_adam_loop`` + ``truncated_chamfer``
 exactly (loss formula, 3-way early stop, pre-step aux handoff, optax Adam
 with bias correction); numerics differ only by f32 reassociation and the
 in-kernel bf16x3 wide matmuls (``ops/fused_level._dot_wide``). Parity is
-pinned by tests/test_fused_iteration.py. Covers the chamfer-mode
-SE3/Sim3 configs with axis_angle or euler rotations — the benchmark
-``config/NDP.yaml`` and the Sim3 shape-transfer demo (hot loop
-``/root/reference/model/registration.py:184-238``); landmark mode,
-nonrigidity, and the remaining rotation formats use the unfused path.
+pinned by tests/test_fused_iteration.py. Covers every chamfer-mode NDP
+config (SE3/Sim3/sflow, all four rotation formats — the benchmark
+``config/NDP.yaml`` and the Sim3 shape-transfer demo; hot loop
+``/root/reference/model/registration.py:184-238``) plus the one-kernel
+landmark mode below; the nonrigidity branch (w_reg > 0) uses the
+unfused path.
 """
 from __future__ import annotations
 
@@ -82,10 +83,13 @@ def _on_tpu() -> bool:
 
 _N_PARAMS = 9  # w_sin_t, w_cos_t, b_in_t, wh_t, bh_t, w_rot_t, b_rot_t,
 #                w_trn_t, b_trn_t — the _forward_math_t parameter order
-#                (+2 for Sim3: w_scl_t, b_scl_t; see params_to_t)
+#                (+2 for Sim3: w_scl_t, b_scl_t; -2 for sflow: no rot pair;
+#                see params_to_t)
 
 
 def _n_params(motion: str) -> int:
+    if motion == "sflow":
+        return _N_PARAMS - 2
     return _N_PARAMS + (2 if motion == "Sim3" else 0)
 
 
@@ -398,45 +402,63 @@ def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
 def params_to_t(p: dict) -> list[Array]:
     """One level's param dict -> the transposed tensors of
     ``_forward_math_t`` (same plumbing as ``fused_level_warp_t``):
-    9 for SE3, +2 (scale head) when the dict carries Sim3's."""
+    9 for SE3, +2 (scale head) for Sim3, -2 (no rot head) for sflow."""
     w_in = p["input"]["w"].reshape(3, 2, -1)
     t = [
         w_in[:, 0].T, w_in[:, 1].T, p["input"]["b"].reshape(-1, 1),
         jnp.swapaxes(p["hidden"]["w"], -1, -2), p["hidden"]["b"][..., None],
-        p["rot"]["w"].T, p["rot"]["b"].reshape(-1, 1),
-        p["trn"]["w"].T, p["trn"]["b"].reshape(-1, 1),
     ]
+    if "rot" in p:
+        t += [p["rot"]["w"].T, p["rot"]["b"].reshape(-1, 1)]
+    t += [p["trn"]["w"].T, p["trn"]["b"].reshape(-1, 1)]
     if "scale" in p:
         t += [p["scale"]["w"].T, p["scale"]["b"].reshape(-1, 1)]
     return t
 
 
 def t_to_params(t: list[Array]) -> dict:
-    """Inverse of :func:`params_to_t` (exact: transposes/reshapes only)."""
-    (w_sin_t, w_cos_t, b_in, wh_t, bh, w_rot_t, b_rot, w_trn_t, b_trn,
-     *t_scl) = t
+    """Inverse of :func:`params_to_t` (exact: transposes/reshapes only).
+    The motion is recovered from the tensor count (7 sflow / 9 SE3 /
+    11 Sim3)."""
+    (w_sin_t, w_cos_t, b_in, wh_t, bh, *rest) = t
     w_in = jnp.stack([w_sin_t.T, w_cos_t.T], axis=1)   # [3, 2, w]
     out = {
         "input": {"w": w_in.reshape(6, -1), "b": b_in[:, 0]},
         "hidden": {"w": jnp.swapaxes(wh_t, -1, -2), "b": bh[..., 0]},
-        "rot": {"w": w_rot_t.T, "b": b_rot[:, 0]},
-        "trn": {"w": w_trn_t.T, "b": b_trn[:, 0]},
     }
+    if len(t) >= 9:
+        w_rot_t, b_rot, *rest = rest
+        out["rot"] = {"w": w_rot_t.T, "b": b_rot[:, 0]}
+    w_trn_t, b_trn, *t_scl = rest
+    out["trn"] = {"w": w_trn_t.T, "b": b_trn[:, 0]}
     if t_scl:
         w_scl_t, b_scl = t_scl
         out["scale"] = {"w": w_scl_t.T, "b": b_scl[:, 0]}
     return out
 
 
-def supports_fused_iteration(pcfg, w_reg: float, n_ldmk: int) -> bool:
-    """The two-kernel path covers the rigid/similarity chamfer configs:
-    SE3 or Sim3 motion, axis_angle or euler rotations (the benchmark
-    NDP.yaml and the Sim3 shape-transfer demo), no nonrigidity branch,
-    pure-chamfer objective, >=1 hidden layer."""
-    return (pcfg.motion in ("SE3", "Sim3")
-            and pcfg.rotation_format in ("axis_angle", "euler")
+def _supports_warp(pcfg, w_reg: float) -> bool:
+    return (pcfg.motion in ("SE3", "Sim3", "sflow")
+            and pcfg.rotation_format in ("axis_angle", "euler",
+                                         "quaternion", "6D")
             and not pcfg.nonrigidity_est and pcfg.depth >= 2
-            and w_reg == 0 and n_ldmk == 0)
+            and w_reg == 0)
+
+
+def supports_fused_iteration(pcfg, w_reg: float, n_ldmk: int) -> bool:
+    """The two-kernel path covers every chamfer-mode NDP config without
+    the nonrigidity branch: SE3/Sim3/sflow motion, all four reference
+    rotation formats (the benchmark NDP.yaml and the Sim3 shape-transfer
+    demo included), pure-chamfer objective, >=1 hidden layer."""
+    return _supports_warp(pcfg, w_reg) and n_ldmk == 0
+
+
+def supports_fused_iteration_ldmk(pcfg, w_reg: float, n_ldmk: int,
+                                  w_cd: float) -> bool:
+    """The one-kernel landmark path covers the LNDP level loop: pure
+    landmark L2 objective (``w_cd == 0`` — ``config/LNDP.yaml``), same
+    warp-chain coverage as :func:`supports_fused_iteration`."""
+    return _supports_warp(pcfg, w_reg) and n_ldmk > 0 and w_cd == 0
 
 
 # ---------------------------------------------------------------------------
@@ -533,6 +555,189 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
             "p": newp, "m": newm, "v": newv,
             "loss_prev": jnp.where(done, c["loss_prev"], loss),
             "counter": counter,
+            "done": done,
+            "it": c["it"] + 1,
+            "applied": c["applied"] + (1 - done.astype(jnp.int32)),
+            "aux": warped_t,
+            "loss": loss,
+        }
+
+    init = {
+        "p": p0, "m": zeros, "v": [jnp.zeros_like(a) for a in p0],
+        "loss_prev": jnp.float32(1e6),
+        "counter": jnp.int32(0),
+        "done": jnp.bool_(False),
+        "it": jnp.int32(0),
+        "applied": jnp.int32(0),
+        "aux": xt_pad,
+        "loss": jnp.float32(jnp.inf),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    stats = {"iters": out["it"], "loss": out["loss"]}
+    warped = out["aux"].T[:n]
+    return t_to_params(out["p"]), warped, stats
+
+
+# ---------------------------------------------------------------------------
+# One-kernel landmark iteration (LNDP level loop, w_cd = 0)
+# ---------------------------------------------------------------------------
+
+def _ldmk_iter_kernel(freq_ref, lprev_ref, cnt_ref, app_ref, count_ref,
+                      xt_ref, tgt_ref, mask_ref, *refs, mlp_scale: float,
+                      lr: float, b1: float, b2: float, eps: float,
+                      motion: str, rotation_format: str,
+                      max_break: int, thr_ratio: float, loss_eps: float):
+    """The ENTIRE landmark-mode solver iteration in one launch.
+
+    With ``w_cd == 0`` (``config/LNDP.yaml``) the level loop optimizes the
+    masked mean-squared landmark distance over only the ~landmark rows —
+    a few hundred points, so the unfused path is pure launch latency
+    (~25 dispatches for <1 MFLOP). Here: forward warp, loss, the 3-way
+    early-stop decision (reference ``registration.py:219-235``), the
+    closed-form gradient wrt warped (``2*(w - tgt)*mask/count``), jax.vjp
+    through the recomputed chain, and the done-gated optax-Adam update all
+    run in a single kernel; only (1,1) scalars + the warped rows leave.
+    """
+    np_ = _n_params(motion)
+    p_refs = refs[:np_]
+    m_refs = refs[np_:2 * np_]
+    v_refs = refs[2 * np_:3 * np_]
+    out_p = refs[3 * np_:4 * np_]
+    out_m = refs[4 * np_:5 * np_]
+    out_v = refs[5 * np_:6 * np_]
+    warped_ref, loss_ref, cnt2_ref, done_ref = refs[6 * np_:]
+    xt = xt_ref[:]
+    freq = freq_ref[0, 0]
+
+    def f(*params):
+        return _forward_math_t(xt, freq, *params, mlp_scale=mlp_scale,
+                               motion=motion,
+                               rotation_format=rotation_format)
+
+    warped, vjp = jax.vjp(f, *[r[:] for r in p_refs])
+    warped_ref[:] = warped
+    count = count_ref[0, 0]
+    diff = (warped - tgt_ref[:]) * mask_ref[:]         # [3, N], masked
+    loss = jnp.sum(diff * diff) / count
+    loss_ref[0, 0] = loss
+
+    loss_prev = lprev_ref[0, 0]
+    small = loss < loss_eps
+    plateau = jnp.abs(loss_prev - loss) < loss_prev * thr_ratio
+    counter = cnt_ref[0, 0] + plateau.astype(jnp.float32)
+    done = small | (counter >= max_break)
+    cnt2_ref[0, 0] = counter
+    done_ref[0, 0] = done.astype(jnp.float32)
+
+    grads = vjp((2.0 / count) * diff)
+    t = app_ref[0, 0] + 1.0
+    bc1 = 1.0 - jnp.exp(t * math.log(b1))
+    bc2 = 1.0 - jnp.exp(t * math.log(b2))
+    for pr, mr, vr, npr, nmr, nvr, g in zip(
+            p_refs, m_refs, v_refs, out_p, out_m, out_v, grads):
+        m2 = b1 * mr[:] + (1.0 - b1) * g
+        v2 = b2 * vr[:] + (1.0 - b2) * (g * g)
+        upd = -lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+        npr[:] = jnp.where(done, pr[:], pr[:] + upd)
+        nmr[:] = jnp.where(done, mr[:], m2)
+        nvr[:] = jnp.where(done, vr[:], v2)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mlp_scale", "lr", "b1", "b2", "eps", "interpret", "motion",
+    "rotation_format", "max_break", "thr_ratio", "loss_eps"))
+def _ldmk_iter_call(freq, loss_prev, counter, applied, count, xt_pad,
+                    tgt_pad, mask, params_t, m_t, v_t, *, mlp_scale: float,
+                    lr: float, b1: float, b2: float, eps: float,
+                    interpret: bool, motion: str, rotation_format: str,
+                    max_break: int, thr_ratio: float, loss_eps: float):
+    n_pad = xt_pad.shape[1]
+    np_ = len(params_t)
+    kernel = functools.partial(
+        _ldmk_iter_kernel, mlp_scale=mlp_scale, lr=lr, b1=b1, b2=b2,
+        eps=eps, motion=motion, rotation_format=rotation_format,
+        max_break=max_break, thr_ratio=thr_ratio, loss_eps=loss_eps)
+    if interpret:
+        in_specs = [pl.BlockSpec()] * (8 + 3 * np_)
+        out_specs = [pl.BlockSpec()] * (3 * np_ + 4)
+    else:
+        in_specs = ([pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)] * 5
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                    * (3 + 3 * np_))
+        out_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)]
+                     * (3 * np_ + 1)
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3)
+    out_shape = (
+        [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+         for a in params_t * 3]
+        + [jax.ShapeDtypeStruct((3, n_pad), jnp.float32),   # warped
+           jax.ShapeDtypeStruct((1, 1), jnp.float32),       # loss
+           jax.ShapeDtypeStruct((1, 1), jnp.float32),       # counter
+           jax.ShapeDtypeStruct((1, 1), jnp.float32)])      # done
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(freq, loss_prev, counter, applied, count, xt_pad, tgt_pad, mask,
+      *params_t, *m_t, *v_t)
+    n = len(params_t)
+    return (list(outs[:n]), list(outs[n:2 * n]), list(outs[2 * n:3 * n]),
+            outs[3 * n], outs[3 * n + 1], outs[3 * n + 2], outs[3 * n + 3])
+
+
+def run_fused_level_ldmk(lvl_params: dict, pts: Array, ldmk_valid: Array,
+                         tgt_ldmk: Array, level: Array, pcfg, lcfg,
+                         interpret: bool | None = None):
+    """Adam-optimize one pyramid level on landmark L2 only (one-kernel
+    iteration).
+
+    Drop-in for the unfused ``_solve_level`` body in LNDP landmark mode
+    (``w_cd == 0`` so ``pts`` IS the landmark rows): same loss
+    (masked mean squared distance), 3-way early stop, pre-step warped
+    handoff, optax Adam math. Returns (updated level params dict,
+    warped pts [N, 3], stats {iters, loss}).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    n = pts.shape[0]
+    n_pad = _round_up(max(n, 128), 128)
+    xt_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(
+        pts.astype(jnp.float32).T)
+    tgt_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(
+        tgt_ldmk.astype(jnp.float32).T)
+    mask = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
+        ldmk_valid.astype(jnp.float32))
+    count = jnp.maximum(jnp.sum(mask), 1.0).reshape(1, 1)
+
+    freq = jnp.exp2(jnp.asarray(level, jnp.float32) + 1.0 + pcfg.k0)
+    freq = freq.reshape(1, 1)
+    p0 = params_to_t(lvl_params)
+    zeros = [jnp.zeros_like(a) for a in p0]
+    mlp_scale = float(pcfg.mlp_scale)
+    call = functools.partial(
+        _ldmk_iter_call, mlp_scale=mlp_scale, lr=lcfg.lr, b1=0.9, b2=0.999,
+        eps=1e-8, interpret=interpret, motion=pcfg.motion,
+        rotation_format=pcfg.rotation_format,
+        max_break=lcfg.max_break_count,
+        thr_ratio=lcfg.break_threshold_ratio, loss_eps=lcfg.loss_eps)
+
+    def cond(c):
+        return (c["it"] < lcfg.iters) & jnp.logical_not(c["done"])
+
+    def body(c):
+        newp, newm, newv, warped_t, loss, counter, done_f = call(
+            freq, c["loss_prev"].reshape(1, 1),
+            c["counter"].astype(jnp.float32).reshape(1, 1),
+            c["applied"].astype(jnp.float32).reshape(1, 1), count,
+            xt_pad, tgt_pad, mask, c["p"], c["m"], c["v"])
+        loss = loss[0, 0]
+        done = done_f[0, 0] > 0.5
+        return {
+            "p": newp, "m": newm, "v": newv,
+            "loss_prev": jnp.where(done, c["loss_prev"], loss),
+            "counter": counter[0, 0].astype(jnp.int32),
             "done": done,
             "it": c["it"] + 1,
             "applied": c["applied"] + (1 - done.astype(jnp.int32)),

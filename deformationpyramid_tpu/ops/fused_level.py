@@ -323,20 +323,32 @@ def _forward_math_t(xt, freq, *p, mlp_scale: float, motion: str = "SE3",
 
     ``p`` is the 9-tensor SE3 parameter order (w_sin_t, w_cos_t, b_in_t,
     wh_t, bh_t, w_rot_t, b_rot_t, w_trn_t, b_trn_t) plus (w_scl_t,
-    b_scl_t) appended for Sim3. Rotation formats: "axis_angle"
-    (matrix-free Rodrigues) and "euler" (XYZ convention,
-    ``rigid_body.py:19-56``: R = Rx @ Ry @ Rz with per-point angles).
+    b_scl_t) appended for Sim3; "sflow" drops the rot pair (7 tensors).
+    All four reference rotation formats are covered: "axis_angle"
+    (matrix-free Rodrigues), "euler" (XYZ convention,
+    ``rigid_body.py:19-56``: R = Rx @ Ry @ Rz with per-point angles),
+    "quaternion" (sign-fixed normalization ``nets.py:154-157`` +
+    ``rigid_body.py:62-85``), "6D" (Gram-Schmidt, ``rigid_body.py:5-16``).
+    Per-point R @ x rows are assembled via one-hot broadcasts
+    (Mosaic-legal, no sublane concatenation).
     """
-    (w_sin_t, w_cos_t, b_in_t, wh_t, bh_t,
-     w_rot_t, b_rot_t, w_trn_t, b_trn_t, *p_scl) = p
+    (w_sin_t, w_cos_t, b_in_t, wh_t, bh_t, *rest) = p
+    if motion == "sflow":
+        w_trn_t, b_trn_t = rest
+        w_rot_t = b_rot_t = None
+        p_scl = []
+    else:
+        (w_rot_t, b_rot_t, w_trn_t, b_trn_t, *p_scl) = rest
     s = jnp.sin(xt * freq)
     c = jnp.cos(xt * freq)
     h = _dot_wide(w_sin_t, s) + _dot_wide(w_cos_t, c) + b_in_t
     h = jnp.maximum(h, 0.0)
     for l in range(wh_t.shape[0]):
         h = jnp.maximum(_dot_wide(wh_t[l], h) + bh_t[l], 0.0)
-    r = mlp_scale * (_dot(w_rot_t, h) + b_rot_t)
     t = mlp_scale * (_dot(w_trn_t, h) + b_trn_t)
+    if motion == "sflow":
+        return xt + t
+    r = mlp_scale * (_dot(w_rot_t, h) + b_rot_t)
     if rotation_format == "axis_angle":
         theta = jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=0, keepdims=True),
                                      1e-12))
@@ -360,6 +372,44 @@ def _forward_math_t(xt, freq, *p, mlp_scale: float, motion: str = "SE3",
                 + (sa * cc + ca * sb * sc) * x1 + ca * cb * x2)
         e0, e1, e2 = _row_basis()
         rx = e0 * row0 + e1 * row1 + e2 * row2
+    elif rotation_format == "quaternion":
+        # sign-fixed normalization (nets.py:154-157: divide by
+        # copysign(|q|, q_r), non-IEEE — zero q_r keeps +|q|) then the
+        # two_s rotation form of rigid_body.py:62-85.
+        sq = jnp.sum(r * r, axis=0, keepdims=True)
+        root = jnp.sqrt(jnp.maximum(sq, 1e-12))
+        denom = jnp.where(r[0:1, :] < 0, -root, root)
+        q = r / denom
+        two_s = 2.0 / jnp.maximum(jnp.sum(q * q, axis=0, keepdims=True),
+                                  1e-12)
+        qr, qi = q[0:1, :], q[1:2, :]
+        qj, qk = q[2:3, :], q[3:4, :]
+        x0, x1, x2 = xt[0:1, :], xt[1:2, :], xt[2:3, :]
+        row0 = ((1.0 - two_s * (qj * qj + qk * qk)) * x0
+                + two_s * (qi * qj - qk * qr) * x1
+                + two_s * (qi * qk + qj * qr) * x2)
+        row1 = (two_s * (qi * qj + qk * qr) * x0
+                + (1.0 - two_s * (qi * qi + qk * qk)) * x1
+                + two_s * (qj * qk - qi * qr) * x2)
+        row2 = (two_s * (qi * qk - qj * qr) * x0
+                + two_s * (qj * qk + qi * qr) * x1
+                + (1.0 - two_s * (qi * qi + qj * qj)) * x2)
+        e0, e1, e2 = _row_basis()
+        rx = e0 * row0 + e1 * row1 + e2 * row2
+    elif rotation_format == "6D":
+        # Gram-Schmidt rows (rigid_body.py:5-16): R = [b1; b2; b1 x b2],
+        # so each warped row is a b_i . x lane-wise dot.
+        a1, a2 = r[0:3, :], r[3:6, :]
+        b1 = a1 / jnp.sqrt(jnp.maximum(
+            jnp.sum(a1 * a1, axis=0, keepdims=True), 1e-12))
+        b2 = a2 - jnp.sum(b1 * a2, axis=0, keepdims=True) * b1
+        b2 = b2 / jnp.sqrt(jnp.maximum(
+            jnp.sum(b2 * b2, axis=0, keepdims=True), 1e-12))
+        b3 = _cross_t(b1, b2)
+        e0, e1, e2 = _row_basis()
+        rx = (e0 * jnp.sum(b1 * xt, axis=0, keepdims=True)
+              + e1 * jnp.sum(b2 * xt, axis=0, keepdims=True)
+              + e2 * jnp.sum(b3 * xt, axis=0, keepdims=True))
     else:  # pragma: no cover - guarded by supports_fused_iteration
         raise NotImplementedError(rotation_format)
     if motion == "Sim3":

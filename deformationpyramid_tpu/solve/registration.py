@@ -38,7 +38,9 @@ from ..ops.chamfer_fused import chamfer_l1_fused
 from ..ops.fused_level import (
     fused_level_warp, fused_level_warp_t, supports_fused,
 )
-from ..ops.fused_iteration import run_fused_level, supports_fused_iteration
+from ..ops.fused_iteration import (run_fused_level, run_fused_level_ldmk,
+                                   supports_fused_iteration,
+                                   supports_fused_iteration_ldmk)
 
 Array = jax.Array
 
@@ -97,14 +99,18 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
     Returns (updated level params, warped pts from last evaluation, stats).
     """
     pcfg = cfg.pyramid
-    if (bool(cfg.use_fused_iteration)
-            and supports_fused_iteration(pcfg, cfg.w_reg, n_ldmk)):
+    if bool(cfg.use_fused_iteration):
         lcfg = LoopConfig(iters=cfg.iters, lr=cfg.lr,
                           max_break_count=cfg.max_break_count,
                           break_threshold_ratio=cfg.break_threshold_ratio,
                           loss_eps=cfg.loss_eps)
-        return run_fused_level(lvl_params, pts, pts_valid, t_sample,
-                               t_valid, lvl, pcfg, lcfg)
+        if supports_fused_iteration(pcfg, cfg.w_reg, n_ldmk):
+            return run_fused_level(lvl_params, pts, pts_valid, t_sample,
+                                   t_valid, lvl, pcfg, lcfg)
+        if supports_fused_iteration_ldmk(pcfg, cfg.w_reg, n_ldmk, cfg.w_cd):
+            # w_cd == 0 => pts IS the landmark rows (see register_pair)
+            return run_fused_level_ldmk(lvl_params, pts, ldmk_valid,
+                                        tgt_ldmk, lvl, pcfg, lcfg)
     # Fused level-warp kernels are opt-in: the A/B on the tunneled v5e chip
     # measured 0.397 (fused) vs 0.377 (unfused) ms/iteration at B=4 — the
     # kernel boundaries trade ~1:1 against XLA's own fusion here because

@@ -95,10 +95,14 @@ def test_supports_gate():
         NDPConfig(motion="Sim3", rotation_format="axis_angle"), 0.0, 0)
     assert supports_fused_iteration(
         NDPConfig(motion="Sim3", rotation_format="euler"), 0.0, 0)
-    assert not supports_fused_iteration(
+    assert supports_fused_iteration(
         NDPConfig(motion="sflow", rotation_format="axis_angle"), 0.0, 0)
-    assert not supports_fused_iteration(
+    assert supports_fused_iteration(
         NDPConfig(rotation_format="quaternion"), 0.0, 0)
+    assert supports_fused_iteration(
+        NDPConfig(rotation_format="6D"), 0.0, 0)
+    assert not supports_fused_iteration(
+        NDPConfig(nonrigidity_est=True), 0.5, 0)
     assert not supports_fused_iteration(
         NDPConfig(depth=1, rotation_format="axis_angle"), 0.0, 0)
 
@@ -261,13 +265,20 @@ def test_run_fused_level_matches_run_adam_loop():
             assert np.abs(a - b).max() < 1e-3, (k, kk)
 
 
-@pytest.mark.parametrize("motion,rot", [
-    ("SE3", "euler"), ("Sim3", "axis_angle"), ("Sim3", "euler")])
-def test_run_fused_level_motion_rotation_variants(motion, rot):
-    """Sim3/euler coverage (the shape-transfer demo config family):
-    kernel warp == level_warp, and the full fused level matches the
-    unfused Adam loop — same early-stop count, loss/params/warped within
-    f32 drift."""
+@pytest.mark.parametrize("motion,rot,iters,tol", [
+    # quaternion/6D renormalize a ~mlp_scale-sized head output, so the
+    # backward is 1/|r| ~ 1e3-conditioned: per-step grads match to ~1e-6
+    # relative (test_forward_math_t_grad_parity) but f32 trajectories
+    # decorrelate chaotically past ~5 steps — pin a short horizon there.
+    ("SE3", "euler", 25, 1e-3), ("Sim3", "axis_angle", 25, 1e-3),
+    ("Sim3", "euler", 25, 1e-3), ("sflow", "axis_angle", 25, 1e-3),
+    ("SE3", "quaternion", 5, 1e-2), ("SE3", "6D", 5, 1e-2),
+    ("Sim3", "quaternion", 5, 1e-2)])
+def test_run_fused_level_motion_rotation_variants(motion, rot, iters, tol):
+    """Full motion x rotation-format coverage (Sim3 shape-transfer demo,
+    quaternion/6D/sflow config options): kernel warp == level_warp, and
+    the full fused level matches the unfused Adam loop — same early-stop
+    count, loss/params/warped within f32 drift."""
     cfg = NDPConfig(m=4, k0=-6, depth=3, width=64,
                     rotation_format=rot, motion=motion)
     pts, tgt, _ = _setup(n=180, m=200, seed=8)
@@ -286,7 +297,7 @@ def test_run_fused_level_motion_rotation_variants(motion, rot):
     assert np.abs(got - np.asarray(ref_warped)).max() < 1e-5
 
     # full-level equivalence vs the unfused loop
-    lcfg = LoopConfig(iters=25, lr=0.01, max_break_count=15,
+    lcfg = LoopConfig(iters=iters, lr=0.01, max_break_count=15,
                       break_threshold_ratio=0.001)
     pts_valid = jnp.ones((pts.shape[0],), bool)
     t_valid = jnp.ones((tgt.shape[0],), bool)
@@ -301,12 +312,45 @@ def test_run_fused_level_motion_rotation_variants(motion, rot):
     ref_p, ref_warped, ref_stats = run_adam_loop(loss_fn, lvl_p, lcfg,
                                                  aux_init=pts)
     assert int(stats["iters"]) == int(ref_stats["iters"])
-    assert abs(float(stats["loss"]) - float(ref_stats["loss"])) < 1e-4
-    assert np.abs(np.asarray(warped) - np.asarray(ref_warped)).max() < 1e-3
+    assert abs(float(stats["loss"]) - float(ref_stats["loss"])) < tol
+    assert np.abs(np.asarray(warped) - np.asarray(ref_warped)).max() < tol
     for k in ref_p:
         for kk in ref_p[k]:
             a, b = np.asarray(ref_p[k][kk]), np.asarray(new_p[k][kk])
-            assert np.abs(a - b).max() < 1e-3, (k, kk)
+            assert np.abs(a - b).max() < tol, (k, kk)
+
+
+@pytest.mark.parametrize("motion,rot", [
+    ("SE3", "axis_angle"), ("SE3", "euler"), ("SE3", "quaternion"),
+    ("SE3", "6D"), ("Sim3", "quaternion"), ("sflow", "axis_angle")])
+def test_forward_math_t_grad_parity(motion, rot):
+    """Parameter gradients through the transposed fused warp chain match
+    jax.grad through level_warp to ~1e-6 RELATIVE for every motion x
+    rotation format (the per-step guarantee behind the trajectory tests;
+    quaternion/6D are 1/|r|-conditioned so absolute drift compounds)."""
+    cfg = NDPConfig(m=4, k0=-6, depth=3, width=64,
+                    rotation_format=rot, motion=motion)
+    rng = np.random.default_rng(8)
+    pts = jnp.asarray(rng.standard_normal((180, 3)) * 0.4, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((180, 3)) * 0.1, jnp.float32)
+    params = init_pyramid_params(jax.random.key(8), cfg)
+    lvl_p = level_params(params, 1)
+    freq = jnp.exp2(jnp.float32(1) + 1.0 + cfg.k0)
+
+    gref = jax.grad(lambda p: jnp.sum(level_warp(p, pts, 1, cfg)[0] * g))(
+        lvl_p)
+
+    def loss_t(pt):
+        w = _fl._forward_math_t(pts.T, freq, *pt, mlp_scale=cfg.mlp_scale,
+                                motion=motion, rotation_format=rot)
+        return jnp.sum(w * g.T)
+
+    gt = t_to_params(list(jax.grad(loss_t)(params_to_t(lvl_p))))
+    for k in gref:
+        for kk in gref[k]:
+            a, b = np.asarray(gref[k][kk]), np.asarray(gt[k][kk])
+            rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-12)
+            assert rel < 1e-5, (k, kk, rel)
 
 
 def test_run_fused_level_default_knobs():
@@ -332,6 +376,167 @@ def test_run_fused_level_default_knobs():
     # a near-tie flip early in the loop perturbs the Adam trajectory;
     # same band as the register_pair fused/unfused equivalence below
     assert np.abs(np.asarray(w0) - np.asarray(w1)).max() < 2e-2
+
+
+def test_supports_gate_ldmk():
+    from deformationpyramid_tpu.ops.fused_iteration import (
+        supports_fused_iteration_ldmk)
+
+    assert supports_fused_iteration_ldmk(CFG, 0.0, 5, 0.0)
+    assert not supports_fused_iteration_ldmk(CFG, 0.0, 0, 0.0)   # no ldmk
+    assert not supports_fused_iteration_ldmk(CFG, 0.0, 5, 0.1)   # chamfer on
+    assert not supports_fused_iteration_ldmk(CFG, 0.5, 5, 0.0)   # w_reg
+    assert supports_fused_iteration_ldmk(
+        NDPConfig(rotation_format="quaternion"), 0.0, 5, 0.0)
+    assert not supports_fused_iteration_ldmk(
+        NDPConfig(nonrigidity_est=True), 0.5, 5, 0.0)
+
+
+def test_ldmk_iter_kernel_single_step():
+    """One launch == loss + early-stop decision + one optax.adam step of
+    the masked landmark L2 objective; done=1 holds params/moments."""
+    from deformationpyramid_tpu.ops.fused_iteration import (
+        _ldmk_iter_call, _round_up)
+
+    pts, _, lvl_p = _setup(n=150, m=10)
+    rng = np.random.default_rng(11)
+    tgt_l = pts + jnp.asarray(rng.standard_normal(pts.shape) * 0.05,
+                              jnp.float32)
+    valid = jnp.asarray(rng.random(pts.shape[0]) > 0.3)
+    n = pts.shape[0]
+    n_pad = _round_up(max(n, 128), 128)
+    xt_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(pts.T)
+    tgt_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(tgt_l.T)
+    mask = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
+        valid.astype(jnp.float32))
+    count = jnp.maximum(jnp.sum(mask), 1.0).reshape(1, 1)
+    freq = jnp.exp2(jnp.float32(1) + 1.0 + CFG.k0).reshape(1, 1)
+    p_t = params_to_t(lvl_p)
+    zeros = [jnp.zeros_like(a) for a in p_t]
+    scal = lambda x: jnp.full((1, 1), x, jnp.float32)
+
+    def ref_loss(p):
+        w, _ = level_warp(p, pts, 1, CFG)
+        sq = jnp.sum((w - tgt_l) ** 2, axis=-1)
+        return jnp.sum(jnp.where(valid, sq, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1)
+
+    newp, newm, newv, warped_t, loss, counter, done = _ldmk_iter_call(
+        freq, scal(1e6), scal(0.0), scal(0.0), count, xt_pad, tgt_pad,
+        mask, p_t, zeros, [jnp.zeros_like(a) for a in p_t],
+        mlp_scale=CFG.mlp_scale, lr=0.01, b1=0.9, b2=0.999, eps=1e-8,
+        interpret=True, motion="SE3", rotation_format="axis_angle",
+        max_break=15, thr_ratio=0.001, loss_eps=1e-4)
+
+    assert abs(float(loss[0, 0]) - float(ref_loss(lvl_p))) < 1e-6
+    assert float(counter[0, 0]) == 0.0
+    assert float(done[0, 0]) == 0.0
+    ref_w, _ = level_warp(lvl_p, pts, 1, CFG)
+    assert np.abs(np.asarray(warped_t).T[:n] - np.asarray(ref_w)).max() < 1e-5
+
+    gref = jax.grad(ref_loss)(lvl_p)
+    opt = optax.adam(0.01)
+    st = opt.init(lvl_p)
+    upd, _ = opt.update(gref, st, lvl_p)
+    ref_p = optax.apply_updates(lvl_p, upd)
+    got_p = t_to_params(list(newp))
+    for k in ref_p:
+        for kk in ref_p[k]:
+            a, b = np.asarray(ref_p[k][kk]), np.asarray(got_p[k][kk])
+            assert np.abs(a - b).max() < 1e-5, (k, kk, np.abs(a - b).max())
+
+    # plateau path: loss_prev == loss => counter increments; done stays 0
+    _, _, _, _, _, c2, d2 = _ldmk_iter_call(
+        freq, loss.reshape(1, 1), scal(3.0), scal(0.0), count, xt_pad,
+        tgt_pad, mask, p_t, zeros, [jnp.zeros_like(a) for a in p_t],
+        mlp_scale=CFG.mlp_scale, lr=0.01, b1=0.9, b2=0.999, eps=1e-8,
+        interpret=True, motion="SE3", rotation_format="axis_angle",
+        max_break=15, thr_ratio=0.001, loss_eps=1e-4)
+    assert float(c2[0, 0]) == 4.0 and float(d2[0, 0]) == 0.0
+
+    # max_break reached => done, params held
+    heldp, heldm, _, _, _, c3, d3 = _ldmk_iter_call(
+        freq, loss.reshape(1, 1), scal(14.0), scal(0.0), count, xt_pad,
+        tgt_pad, mask, p_t, zeros, [jnp.zeros_like(a) for a in p_t],
+        mlp_scale=CFG.mlp_scale, lr=0.01, b1=0.9, b2=0.999, eps=1e-8,
+        interpret=True, motion="SE3", rotation_format="axis_angle",
+        max_break=15, thr_ratio=0.001, loss_eps=1e-4)
+    assert float(d3[0, 0]) == 1.0
+    for a, b in zip(heldp, p_t):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a in heldm:
+        assert not np.asarray(a).any()
+
+
+@pytest.mark.parametrize("motion,rot", [
+    ("SE3", "axis_angle"), ("Sim3", "euler")])
+def test_run_fused_level_ldmk_matches_run_adam_loop(motion, rot):
+    """Full landmark level: identical early-stop counts and matching
+    loss/params/warped vs the unfused loop on the same masked L2."""
+    from deformationpyramid_tpu.ops.fused_iteration import (
+        run_fused_level_ldmk)
+
+    cfg = NDPConfig(m=4, k0=-6, depth=3, width=64,
+                    rotation_format=rot, motion=motion)
+    pts, _, _ = _setup(n=150, m=10, seed=4)
+    params = init_pyramid_params(jax.random.key(4), cfg)
+    lvl_p = level_params(params, 1)
+    rng = np.random.default_rng(4)
+    tgt_l = pts + jnp.asarray(rng.standard_normal(pts.shape) * 0.08,
+                              jnp.float32)
+    valid = jnp.asarray(rng.random(pts.shape[0]) > 0.2)
+    lcfg = LoopConfig(iters=40, lr=0.01, max_break_count=15,
+                      break_threshold_ratio=0.001)
+
+    new_p, warped, stats = run_fused_level_ldmk(
+        lvl_p, pts, valid, tgt_l, jnp.int32(1), cfg, lcfg, interpret=True)
+
+    def loss_fn(p, it, key):
+        w, _ = level_warp(p, pts, 1, cfg)
+        sq = jnp.sum((w - tgt_l) ** 2, axis=-1)
+        loss = jnp.sum(jnp.where(valid, sq, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1)
+        return loss, w
+
+    ref_p, ref_warped, ref_stats = run_adam_loop(loss_fn, lvl_p, lcfg,
+                                                 aux_init=pts)
+    assert int(stats["iters"]) == int(ref_stats["iters"])
+    assert abs(float(stats["loss"]) - float(ref_stats["loss"])) < 1e-5
+    assert np.abs(np.asarray(warped) - np.asarray(ref_warped)).max() < 1e-3
+    for k in ref_p:
+        for kk in ref_p[k]:
+            a, b = np.asarray(ref_p[k][kk]), np.asarray(new_p[k][kk])
+            assert np.abs(a - b).max() < 1e-3, (k, kk)
+
+
+def test_register_pair_ldmk_fused_iteration_equivalence():
+    """register_pair in LNDP landmark mode (w_cd=0) with the fused
+    one-kernel iteration matches the default path."""
+    from deformationpyramid_tpu.data.synthetic import make_pair
+    from deformationpyramid_tpu.solve.registration import (
+        SolverConfig, register_pair)
+
+    src, tgt, _ = make_pair(n=300, seed=2, deform=0.1)
+    rng = np.random.default_rng(2)
+    idx = rng.choice(300, 48, replace=False)
+    src_l = jnp.array(src[idx])
+    tgt_l = jnp.array(tgt[idx])
+    lv = jnp.asarray(rng.random(48) > 0.25)
+    base = dict(pyramid=NDPConfig(m=3, k0=-6, depth=3, width=48), iters=30,
+                lr=0.01, max_break_count=15, break_threshold_ratio=0.001,
+                samples=256, w_cd=0.0)
+    outs = []
+    for fi in (False, True):
+        cfg = SolverConfig(**base, use_fused_iteration=fi)
+        w, st = jax.jit(lambda k, s, t, ls, lt, v: register_pair(
+            k, s, t, cfg, src_ldmk=ls, tgt_ldmk=lt, ldmk_valid=v))(
+            jax.random.key(0), jnp.array(src), jnp.array(tgt),
+            src_l, tgt_l, lv)
+        outs.append((np.asarray(w), np.asarray(st["loss"]),
+                     np.asarray(st["iters"])))
+    assert (outs[0][2] == outs[1][2]).all(), (outs[0][2], outs[1][2])
+    assert np.allclose(outs[0][1], outs[1][1], atol=5e-4)
+    assert np.abs(outs[0][0] - outs[1][0]).max() < 5e-3
 
 
 def test_register_pair_fused_iteration_equivalence():
