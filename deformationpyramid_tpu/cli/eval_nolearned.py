@@ -41,9 +41,10 @@ def _fused_iter_default(cfg: AttrDict) -> bool | None:
     """Fused-iteration solver kernels for the eval sweep: YAML key >
     DP_FUSED_ITER env > auto (on when the backend is TPU). The
     per-config applicability gates (`supports_fused_iteration` /
-    `supports_fused_iteration_ldmk`) still decide per solve;
-    unsupported configs (w_reg>0, quaternion/6D rotations, sflow)
-    silently use the unfused path."""
+    `supports_fused_iteration_ldmk`) still decide per solve — every
+    reference NDP config (all motions/rotation formats, chamfer,
+    landmark and nonrigidity objectives) is covered; depth<2 falls
+    back to the unfused path."""
     if "use_fused_iteration" in cfg:
         return bool(cfg["use_fused_iteration"])
     env = os.environ.get("DP_FUSED_ITER")

@@ -84,19 +84,22 @@ def _on_tpu() -> bool:
 _N_PARAMS = 9  # w_sin_t, w_cos_t, b_in_t, wh_t, bh_t, w_rot_t, b_rot_t,
 #                w_trn_t, b_trn_t — the _forward_math_t parameter order
 #                (+2 for Sim3: w_scl_t, b_scl_t; -2 for sflow: no rot pair;
-#                see params_to_t)
+#                +2 trailing for nonrigidity: w_nr_t, b_nr_t; see params_to_t)
 
 
-def _n_params(motion: str) -> int:
+def _n_params(motion: str, nonrigid: bool = False) -> int:
+    n = _N_PARAMS
     if motion == "sflow":
-        return _N_PARAMS - 2
-    return _N_PARAMS + (2 if motion == "Sim3" else 0)
+        n -= 2
+    elif motion == "Sim3":
+        n += 2
+    return n + (2 if nonrigid else 0)
 
 
-def _fwd_sweep_kernel(freq_ref, xt_ref, xbig_ref, yc_ref, ysqb_ref,
-                      *refs, mlp_scale: float, tm: int, m_pad: int,
-                      mxu_dist: bool, packed: bool,
-                      motion: str, rotation_format: str):
+def _fwd_sweep_kernel(freq_ref, gate_ref, xt_ref, xbig_ref, yc_ref,
+                      ysqb_ref, *refs, mlp_scale: float, tm: int,
+                      m_pad: int, mxu_dist: bool, packed: bool,
+                      motion: str, rotation_format: str, nonrigid: bool):
     """Warp the level's points, then sweep distance tiles for both 1-NN
     directions.
 
@@ -120,14 +123,25 @@ def _fwd_sweep_kernel(freq_ref, xt_ref, xbig_ref, yc_ref, ysqb_ref,
     ``xbig``/``ysqb`` carry +BIG at padded/invalid entries so they never
     win a min in either direction.
     """
-    np_ = _n_params(motion)
+    np_ = _n_params(motion, nonrigid)
     p_refs = refs[:np_]
-    warped_ref, cmin_ref, cidx_ref, rmin_ref, rarg_ref = refs[np_:]
+    if nonrigid:
+        (warped_ref, cmin_ref, cidx_ref, rmin_ref, rarg_ref,
+         nr_ref) = refs[np_:]
+    else:
+        warped_ref, cmin_ref, cidx_ref, rmin_ref, rarg_ref = refs[np_:]
     xt = xt_ref[:]
     freq = freq_ref[0, 0]
-    warped = _forward_math_t(xt, freq, *[r[:] for r in p_refs],
-                             mlp_scale=mlp_scale, motion=motion,
-                             rotation_format=rotation_format)
+    out = _forward_math_t(xt, freq, *[r[:] for r in p_refs],
+                          mlp_scale=mlp_scale, motion=motion,
+                          rotation_format=rotation_format,
+                          nonrigid=nonrigid,
+                          gate=gate_ref[0, 0] if nonrigid else None)
+    if nonrigid:
+        warped, nr = out
+        nr_ref[:] = nr
+    else:
+        warped = out
     warped_ref[:] = warped
     w0 = warped[0:1, :]
     w1 = warped[1:2, :]
@@ -206,27 +220,32 @@ def _fwd_sweep_kernel(freq_ref, xt_ref, xbig_ref, yc_ref, ysqb_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "mlp_scale", "tm", "interpret", "mxu_dist", "packed", "motion",
-    "rotation_format"))
+    "rotation_format", "nonrigid"))
 def _fwd_sweep_call(freq, xt_pad, xbig, yc_pad, ysqb, params_t,
                     mlp_scale: float, tm: int, interpret: bool,
                     mxu_dist: bool = False, packed: bool = False,
                     motion: str = "SE3",
-                    rotation_format: str = "axis_angle"):
+                    rotation_format: str = "axis_angle",
+                    nonrigid: bool = False, gate=None):
     n_pad = xt_pad.shape[1]
     m_pad = yc_pad.shape[0]
     np_ = len(params_t)
+    n_out = 6 if nonrigid else 5
+    if gate is None:
+        gate = jnp.zeros((1, 1), jnp.float32)
     kernel = functools.partial(_fwd_sweep_kernel, mlp_scale=mlp_scale,
                                tm=tm, m_pad=m_pad, mxu_dist=mxu_dist,
                                packed=packed, motion=motion,
-                               rotation_format=rotation_format)
+                               rotation_format=rotation_format,
+                               nonrigid=nonrigid)
     if interpret:
-        in_specs = [pl.BlockSpec()] * (5 + np_)
-        out_specs = [pl.BlockSpec()] * 5
+        in_specs = [pl.BlockSpec()] * (6 + np_)
+        out_specs = [pl.BlockSpec()] * n_out
     else:
-        in_specs = ([pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
+        in_specs = ([pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)] * 2
                     + [pl.BlockSpec(memory_space=pltpu.VMEM)]
                     * (4 + np_))
-        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out
     out_shape = [
         jax.ShapeDtypeStruct((3, n_pad), jnp.float32),   # warped
         jax.ShapeDtypeStruct((1, n_pad), jnp.float32),   # cmin (per-x)
@@ -234,6 +253,9 @@ def _fwd_sweep_call(freq, xt_pad, xbig, yc_pad, ysqb, params_t,
         jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),   # rmin (per-y)
         jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),     # rarg (per-y)
     ]
+    if nonrigid:
+        out_shape.append(
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32))  # nr
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -245,7 +267,7 @@ def _fwd_sweep_call(freq, xt_pad, xbig, yc_pad, ysqb, params_t,
             bytes_accessed=(n_pad * 8 + m_pad * 8) * 4,
             transcendentals=2 * 3 * n_pad,
         ),
-    )(freq, xt_pad, xbig, yc_pad, ysqb, *params_t)
+    )(freq, gate, xt_pad, xbig, yc_pad, ysqb, *params_t)
 
 
 # ---------------------------------------------------------------------------
@@ -289,15 +311,18 @@ def _chamfer_glue(warped_t: Array, cidx: Array, rarg: Array, yc: Array,
 # Kernel 2: vjp backward (recomputed forward) + Adam + done gate
 # ---------------------------------------------------------------------------
 
-def _bwd_adam_kernel(freq_ref, step_ref, done_ref, xt_ref, g_ref, *refs,
-                     mlp_scale: float, lr: float, b1: float, b2: float,
-                     eps: float, motion: str, rotation_format: str):
+def _bwd_adam_kernel(freq_ref, step_ref, done_ref, gate_ref, xt_ref,
+                     g_ref, gnr_ref, *refs, mlp_scale: float, lr: float,
+                     b1: float, b2: float, eps: float, motion: str,
+                     rotation_format: str, nonrigid: bool):
     """Grid over N lane-tiles: per tile, jax.vjp of the recomputed warp
     accumulates parameter gradients into VMEM scratch; the LAST tile
     applies the optax-exact Adam update (bias correction by applied-step
     count) gated by ``done`` (1.0 = hold params/moments, the solver's
-    no-step-after-break semantics)."""
-    np_ = _n_params(motion)
+    no-step-after-break semantics). With ``nonrigid`` the vjp takes the
+    (warped, nonrigidity) cotangent pair — ``gnr`` carries the BCE reg
+    gradient from the glue."""
+    np_ = _n_params(motion, nonrigid)
     p_refs = refs[:np_]
     m_refs = refs[np_:2 * np_]
     v_refs = refs[2 * np_:3 * np_]
@@ -311,10 +336,12 @@ def _bwd_adam_kernel(freq_ref, step_ref, done_ref, xt_ref, g_ref, *refs,
     def f(*params):
         return _forward_math_t(xt, freq, *params, mlp_scale=mlp_scale,
                                motion=motion,
-                               rotation_format=rotation_format)
+                               rotation_format=rotation_format,
+                               nonrigid=nonrigid,
+                               gate=gate_ref[0, 0] if nonrigid else None)
 
     _, vjp = jax.vjp(f, *[r[:] for r in p_refs])
-    grads = vjp(g_ref[:])
+    grads = vjp((g_ref[:], gnr_ref[:]) if nonrigid else g_ref[:])
 
     @pl.when(i == 0)
     def _():
@@ -351,18 +378,24 @@ def _bwd_adam_kernel(freq_ref, step_ref, done_ref, xt_ref, g_ref, *refs,
 
 @functools.partial(jax.jit, static_argnames=(
     "mlp_scale", "lr", "b1", "b2", "eps", "tn", "interpret", "motion",
-    "rotation_format"))
+    "rotation_format", "nonrigid"))
 def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
                    mlp_scale: float, lr: float, b1: float, b2: float,
                    eps: float, tn: int, interpret: bool,
                    motion: str = "SE3",
-                   rotation_format: str = "axis_angle"):
+                   rotation_format: str = "axis_angle",
+                   nonrigid: bool = False, gate=None, g_nr=None):
     n_pad = xt_pad.shape[1]
     tn = min(tn, n_pad)
     grid = (n_pad // tn,)
+    if gate is None:
+        gate = jnp.zeros((1, 1), jnp.float32)
+    if g_nr is None:
+        g_nr = jnp.zeros((1, n_pad), jnp.float32)
     kernel = functools.partial(_bwd_adam_kernel, mlp_scale=mlp_scale,
                                lr=lr, b1=b1, b2=b2, eps=eps, motion=motion,
-                               rotation_format=rotation_format)
+                               rotation_format=rotation_format,
+                               nonrigid=nonrigid)
     mem = {} if interpret else {"memory_space": pltpu.VMEM}
     smem = {} if interpret else {"memory_space": pltpu.SMEM}
 
@@ -371,9 +404,11 @@ def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
         return pl.BlockSpec(a.shape, lambda i: (0,) * nd, **mem)
 
     in_specs = (
-        [pl.BlockSpec((1, 1), lambda i: (0, 0), **smem)] * 3   # freq/step/done
+        [pl.BlockSpec((1, 1), lambda i: (0, 0), **smem)] * 4   # freq/step/
+        #                                                        done/gate
         + [pl.BlockSpec((3, tn), lambda i: (0, i), **mem)]     # xt
         + [pl.BlockSpec((3, tn), lambda i: (0, i), **mem)]     # g
+        + [pl.BlockSpec((1, tn), lambda i: (0, i), **mem)]     # g_nr
         + [const(a) for a in params_t + m_t + v_t]
     )
     out_specs = [const(a) for a in params_t * 3]
@@ -390,7 +425,7 @@ def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(freq, step, done, xt_pad, g_t, *params_t, *m_t, *v_t)
+    )(freq, step, done, gate, xt_pad, g_t, g_nr, *params_t, *m_t, *v_t)
     n = len(params_t)
     return list(outs[:n]), list(outs[n:2 * n]), list(outs[2 * n:])
 
@@ -413,52 +448,67 @@ def params_to_t(p: dict) -> list[Array]:
     t += [p["trn"]["w"].T, p["trn"]["b"].reshape(-1, 1)]
     if "scale" in p:
         t += [p["scale"]["w"].T, p["scale"]["b"].reshape(-1, 1)]
+    if "nr" in p:
+        t += [p["nr"]["w"].T, p["nr"]["b"].reshape(-1, 1)]
     return t
 
 
-def t_to_params(t: list[Array]) -> dict:
+def t_to_params(t: list[Array], motion: str | None = None,
+                nonrigid: bool = False) -> dict:
     """Inverse of :func:`params_to_t` (exact: transposes/reshapes only).
-    The motion is recovered from the tensor count (7 sflow / 9 SE3 /
-    11 Sim3)."""
+    Without ``motion`` the layout is recovered from the tensor count
+    (7 sflow / 9 SE3 / 11 Sim3, no nr head — counts are ambiguous once
+    ``nonrigid`` params exist, so nonrigid callers must pass both)."""
+    t = list(t)
+    out = {}
+    if nonrigid:
+        b_nr = t.pop()
+        w_nr_t = t.pop()
+        out["nr"] = {"w": w_nr_t.T, "b": b_nr[:, 0]}
+    has_rot = (motion != "sflow") if motion is not None else len(t) >= 9
+    has_scl = (motion == "Sim3") if motion is not None else len(t) == 11
     (w_sin_t, w_cos_t, b_in, wh_t, bh, *rest) = t
     w_in = jnp.stack([w_sin_t.T, w_cos_t.T], axis=1)   # [3, 2, w]
-    out = {
-        "input": {"w": w_in.reshape(6, -1), "b": b_in[:, 0]},
-        "hidden": {"w": jnp.swapaxes(wh_t, -1, -2), "b": bh[..., 0]},
-    }
-    if len(t) >= 9:
+    out["input"] = {"w": w_in.reshape(6, -1), "b": b_in[:, 0]}
+    out["hidden"] = {"w": jnp.swapaxes(wh_t, -1, -2), "b": bh[..., 0]}
+    if has_rot:
         w_rot_t, b_rot, *rest = rest
         out["rot"] = {"w": w_rot_t.T, "b": b_rot[:, 0]}
     w_trn_t, b_trn, *t_scl = rest
     out["trn"] = {"w": w_trn_t.T, "b": b_trn[:, 0]}
-    if t_scl:
+    if has_scl:
         w_scl_t, b_scl = t_scl
         out["scale"] = {"w": w_scl_t.T, "b": b_scl[:, 0]}
     return out
 
 
-def _supports_warp(pcfg, w_reg: float) -> bool:
+def _supports_warp(pcfg) -> bool:
     return (pcfg.motion in ("SE3", "Sim3", "sflow")
             and pcfg.rotation_format in ("axis_angle", "euler",
                                          "quaternion", "6D")
-            and not pcfg.nonrigidity_est and pcfg.depth >= 2
-            and w_reg == 0)
+            and pcfg.depth >= 2)
 
 
 def supports_fused_iteration(pcfg, w_reg: float, n_ldmk: int) -> bool:
-    """The two-kernel path covers every chamfer-mode NDP config without
-    the nonrigidity branch: SE3/Sim3/sflow motion, all four reference
-    rotation formats (the benchmark NDP.yaml and the Sim3 shape-transfer
-    demo included), pure-chamfer objective, >=1 hidden layer."""
-    return _supports_warp(pcfg, w_reg) and n_ldmk == 0
+    """The two-kernel path covers every chamfer-mode NDP config:
+    SE3/Sim3/sflow motion, all four reference rotation formats (the
+    benchmark NDP.yaml and the Sim3 shape-transfer demo included), the
+    nonrigidity branch + BCE reg (w_reg > 0), >=1 hidden layer. The
+    w_reg > 0 objective needs the nr head (``solver_from_config`` sets
+    ``nonrigidity_est`` from w_reg, matching reference
+    ``registration.py:138``)."""
+    return (_supports_warp(pcfg) and n_ldmk == 0
+            and (w_reg == 0 or pcfg.nonrigidity_est))
 
 
 def supports_fused_iteration_ldmk(pcfg, w_reg: float, n_ldmk: int,
                                   w_cd: float) -> bool:
     """The one-kernel landmark path covers the LNDP level loop: pure
-    landmark L2 objective (``w_cd == 0`` — ``config/LNDP.yaml``), same
-    warp-chain coverage as :func:`supports_fused_iteration`."""
-    return _supports_warp(pcfg, w_reg) and n_ldmk > 0 and w_cd == 0
+    landmark L2 objective (``w_cd == 0``, ``w_reg == 0`` —
+    ``config/LNDP.yaml``), same warp-chain coverage as
+    :func:`supports_fused_iteration`."""
+    return (_supports_warp(pcfg) and not pcfg.nonrigidity_est
+            and w_reg == 0 and n_ldmk > 0 and w_cd == 0)
 
 
 # ---------------------------------------------------------------------------
@@ -475,19 +525,32 @@ _SWEEP_MXU_DIST = os.environ.get("DP_SWEEP_MXU", "0") == "1"
 _SWEEP_PACKED = os.environ.get("DP_SWEEP_PACKED", "0") == "1"
 
 
+def _bce_zeros_row(nr: Array, valid: Array) -> Array:
+    """``solve/registration._bce_zeros`` on a [1, N] nonrigidity row:
+    BCE(nr, target=0) = -mean(log(1-nr)) over valid lanes, torch-style
+    -100 clamp (reference ``registration.py:216-220``)."""
+    log1mp = jnp.maximum(jnp.log1p(-nr[0]), -100.0)
+    return -jnp.sum(jnp.where(valid, log1mp, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1)
+
+
 def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
                     t_sample: Array, t_valid: Array, level: Array,
                     pcfg, lcfg, trunc: float = 1e9,
                     tm: int = 512, tn: int = 1024,
                     interpret: bool | None = None,
                     mxu_dist: bool | None = None,
-                    packed: bool | None = None):
+                    packed: bool | None = None,
+                    w_reg: float = 0.0):
     """Adam-optimize one pyramid level with the two-kernel iteration.
 
     Drop-in for the unfused ``_solve_level`` body (chamfer mode): same
     3-way early stop, same pre-step warped-points handoff, same optax
-    Adam math. Returns (updated level params dict, warped pts [N, 3],
-    stats {iters, loss}).
+    Adam math. With ``pcfg.nonrigidity_est`` the warp applies the
+    level>0 nonrigidity gate in-kernel and the loss adds the
+    ``w_reg``-weighted BCE-vs-zeros term (its exact-autodiff gradient
+    rides into kernel 2 as the nr cotangent). Returns (updated level
+    params dict, warped pts [N, 3], stats {iters, loss}).
     """
     if interpret is None:
         interpret = not _on_tpu()
@@ -531,15 +594,28 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
 
     motion = pcfg.motion
     rotation_format = pcfg.rotation_format
+    nonrigid = bool(pcfg.nonrigidity_est)
+    gate = ((jnp.asarray(level, jnp.int32) > 0)
+            .astype(jnp.float32).reshape(1, 1)) if nonrigid else None
 
     def body(c):
-        warped_t, _, cidx, _, rarg = _fwd_sweep_call(
+        outs = _fwd_sweep_call(
             freq, xt_pad, xbig, yc_pad, ysqb, c["p"],
             mlp_scale=mlp_scale, tm=tm, interpret=interpret,
             mxu_dist=mxu_dist, packed=packed, motion=motion,
-            rotation_format=rotation_format)
+            rotation_format=rotation_format, nonrigid=nonrigid, gate=gate)
+        warped_t, _, cidx, _, rarg = outs[:5]
         loss, g_t = _chamfer_glue(warped_t, cidx, rarg, yc_pad, xv, yv,
                                   x_len, y_len, trunc)
+        g_nr = None
+        if nonrigid:
+            # loss += where(level>0, w_reg * BCE(nr, 0), 0); exact
+            # autodiff gradient wrt nr goes to kernel 2 as a cotangent
+            # (reference registration.py:216-220)
+            reg, vjp_nr = jax.vjp(lambda q: _bce_zeros_row(q, xv), outs[5])
+            w_eff = gate[0, 0] * w_reg
+            loss = loss + w_eff * reg
+            (g_nr,) = vjp_nr(w_eff)
         small = loss < lcfg.loss_eps
         plateau = jnp.abs(c["loss_prev"] - loss) \
             < c["loss_prev"] * lcfg.break_threshold_ratio
@@ -550,7 +626,8 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
             done.astype(jnp.float32).reshape(1, 1), xt_pad, g_t,
             c["p"], c["m"], c["v"], mlp_scale=mlp_scale, lr=lcfg.lr,
             b1=0.9, b2=0.999, eps=1e-8, tn=tn, interpret=interpret,
-            motion=motion, rotation_format=rotation_format)
+            motion=motion, rotation_format=rotation_format,
+            nonrigid=nonrigid, gate=gate, g_nr=g_nr)
         return {
             "p": newp, "m": newm, "v": newv,
             "loss_prev": jnp.where(done, c["loss_prev"], loss),
@@ -575,7 +652,8 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
     out = jax.lax.while_loop(cond, body, init)
     stats = {"iters": out["it"], "loss": out["loss"]}
     warped = out["aux"].T[:n]
-    return t_to_params(out["p"]), warped, stats
+    return (t_to_params(out["p"], motion=motion, nonrigid=nonrigid),
+            warped, stats)
 
 
 # ---------------------------------------------------------------------------
@@ -758,4 +836,4 @@ def run_fused_level_ldmk(lvl_params: dict, pts: Array, ldmk_valid: Array,
     out = jax.lax.while_loop(cond, body, init)
     stats = {"iters": out["it"], "loss": out["loss"]}
     warped = out["aux"].T[:n]
-    return t_to_params(out["p"]), warped, stats
+    return t_to_params(out["p"], motion=pcfg.motion), warped, stats

@@ -314,7 +314,8 @@ def _row_basis() -> tuple[Array, Array, Array]:
 
 
 def _forward_math_t(xt, freq, *p, mlp_scale: float, motion: str = "SE3",
-                    rotation_format: str = "axis_angle"):
+                    rotation_format: str = "axis_angle",
+                    nonrigid: bool = False, gate=None):
     """Transposed :func:`_forward_math`: [3, N] points, [out, in] weights,
     [out, 1] biases. Same math/quirks (posenc without pi, mlp_scale,
     1e-12 norm floor, Sim3 ``mlp_scale*s + 1`` — reference
@@ -331,8 +332,15 @@ def _forward_math_t(xt, freq, *p, mlp_scale: float, motion: str = "SE3",
     ``rigid_body.py:62-85``), "6D" (Gram-Schmidt, ``rigid_body.py:5-16``).
     Per-point R @ x rows are assembled via one-hot broadcasts
     (Mosaic-legal, no sublane concatenation).
+
+    ``nonrigid`` appends (w_nr_t, b_nr_t) at the very end and returns
+    (warped, nonrigidity) with the reference's level>0 gate applied via
+    the traced scalar ``gate`` (``nets.py:131-137``: level 0 never
+    gates; its returned nonrigidity is all-ones).
     """
     (w_sin_t, w_cos_t, b_in_t, wh_t, bh_t, *rest) = p
+    if nonrigid:
+        *rest, w_nr_t, b_nr_t = rest
     if motion == "sflow":
         w_trn_t, b_trn_t = rest
         w_rot_t = b_rot_t = None
@@ -346,8 +354,18 @@ def _forward_math_t(xt, freq, *p, mlp_scale: float, motion: str = "SE3",
     for l in range(wh_t.shape[0]):
         h = jnp.maximum(_dot_wide(wh_t[l], h) + bh_t[l], 0.0)
     t = mlp_scale * (_dot(w_trn_t, h) + b_trn_t)
+
+    def finish(x_):
+        if not nonrigid:
+            return x_
+        nr = jax.nn.sigmoid(mlp_scale * (_dot(w_nr_t, h) + b_nr_t))
+        on = gate > 0.5
+        x_out = jnp.where(on, xt + nr * (x_ - xt), x_)
+        nr_out = jnp.where(on, nr, jnp.ones_like(nr))
+        return x_out, nr_out
+
     if motion == "sflow":
-        return xt + t
+        return finish(xt + t)
     r = mlp_scale * (_dot(w_rot_t, h) + b_rot_t)
     if rotation_format == "axis_angle":
         theta = jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=0, keepdims=True),
@@ -415,8 +433,8 @@ def _forward_math_t(xt, freq, *p, mlp_scale: float, motion: str = "SE3",
     if motion == "Sim3":
         w_scl_t, b_scl_t = p_scl
         scl = mlp_scale * (_dot(w_scl_t, h) + b_scl_t) + 1.0
-        return scl * rx + t
-    return rx + t
+        return finish(scl * rx + t)
+    return finish(rx + t)
 
 
 def _fwd_kernel_t(freq_ref, xt_ref, *param_refs, mlp_scale: float):

@@ -106,7 +106,8 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
                           loss_eps=cfg.loss_eps)
         if supports_fused_iteration(pcfg, cfg.w_reg, n_ldmk):
             return run_fused_level(lvl_params, pts, pts_valid, t_sample,
-                                   t_valid, lvl, pcfg, lcfg)
+                                   t_valid, lvl, pcfg, lcfg,
+                                   w_reg=cfg.w_reg)
         if supports_fused_iteration_ldmk(pcfg, cfg.w_reg, n_ldmk, cfg.w_cd):
             # w_cd == 0 => pts IS the landmark rows (see register_pair)
             return run_fused_level_ldmk(lvl_params, pts, ldmk_valid,

@@ -101,8 +101,11 @@ def test_supports_gate():
         NDPConfig(rotation_format="quaternion"), 0.0, 0)
     assert supports_fused_iteration(
         NDPConfig(rotation_format="6D"), 0.0, 0)
-    assert not supports_fused_iteration(
+    # nonrigidity branch: supported when the nr head exists; a w_reg>0
+    # objective without the head falls back (inconsistent config)
+    assert supports_fused_iteration(
         NDPConfig(nonrigidity_est=True), 0.5, 0)
+    assert not supports_fused_iteration(NDPConfig(), 0.5, 0)
     assert not supports_fused_iteration(
         NDPConfig(depth=1, rotation_format="axis_angle"), 0.0, 0)
 
@@ -507,6 +510,71 @@ def test_run_fused_level_ldmk_matches_run_adam_loop(motion, rot):
         for kk in ref_p[k]:
             a, b = np.asarray(ref_p[k][kk]), np.asarray(new_p[k][kk])
             assert np.abs(a - b).max() < 1e-3, (k, kk)
+
+
+@pytest.mark.parametrize("lvl", [0, 1])
+def test_run_fused_level_nonrigid_matches_run_adam_loop(lvl):
+    """Nonrigidity branch (w_reg > 0): the in-kernel level>0 gate + the
+    BCE-vs-zeros reg term match the unfused loss exactly — level 0 must
+    behave as pure ungated chamfer (reference nets.py:131-137,
+    registration.py:216-220)."""
+    from deformationpyramid_tpu.solve.registration import _bce_zeros
+
+    w_reg = 0.3
+    cfg = NDPConfig(m=4, k0=-6, depth=3, width=64,
+                    rotation_format="axis_angle", motion="SE3",
+                    nonrigidity_est=True)
+    pts, tgt, _ = _setup(n=180, m=200, seed=9)
+    params = init_pyramid_params(jax.random.key(9), cfg)
+    lvl_p = level_params(params, lvl)
+    lcfg = LoopConfig(iters=25, lr=0.01, max_break_count=15,
+                      break_threshold_ratio=0.001)
+    pts_valid = jnp.ones((pts.shape[0],), bool)
+    t_valid = jnp.ones((tgt.shape[0],), bool)
+
+    new_p, warped, stats = run_fused_level(
+        lvl_p, pts, pts_valid, tgt, t_valid, jnp.int32(lvl), cfg, lcfg,
+        interpret=True, w_reg=w_reg)
+
+    def loss_fn(p, it, key):
+        w, nr = level_warp(p, pts, lvl, cfg)
+        loss = truncated_chamfer(w, tgt, use_pallas=False)
+        reg = _bce_zeros(nr, pts_valid)
+        return loss + jnp.where(jnp.int32(lvl) > 0, w_reg * reg, 0.0), w
+
+    ref_p, ref_warped, ref_stats = run_adam_loop(loss_fn, lvl_p, lcfg,
+                                                 aux_init=pts)
+    assert int(stats["iters"]) == int(ref_stats["iters"])
+    assert abs(float(stats["loss"]) - float(ref_stats["loss"])) < 1e-4
+    assert np.abs(np.asarray(warped) - np.asarray(ref_warped)).max() < 1e-3
+    for k in ref_p:
+        for kk in ref_p[k]:
+            a, b = np.asarray(ref_p[k][kk]), np.asarray(new_p[k][kk])
+            assert np.abs(a - b).max() < 1e-3, (k, kk)
+
+
+def test_register_pair_nonrigid_fused_iteration_equivalence():
+    """register_pair at w_reg>0 (nonrigidity estimation on) with the
+    fused iteration matches the default path."""
+    from deformationpyramid_tpu.data.synthetic import make_pair
+    from deformationpyramid_tpu.solve.registration import (
+        SolverConfig, register_pair)
+
+    src, tgt, _ = make_pair(n=300, seed=3, deform=0.12)
+    base = dict(pyramid=NDPConfig(m=3, k0=-6, depth=3, width=48,
+                                  nonrigidity_est=True),
+                iters=30, lr=0.01, max_break_count=15,
+                break_threshold_ratio=0.001, samples=256, w_reg=0.2)
+    outs = []
+    for fi in (False, True):
+        cfg = SolverConfig(**base, use_fused_iteration=fi)
+        w, st = jax.jit(lambda k, s, t: register_pair(k, s, t, cfg))(
+            jax.random.key(0), jnp.array(src), jnp.array(tgt))
+        outs.append((np.asarray(w), np.asarray(st["loss"]),
+                     np.asarray(st["iters"])))
+    assert (outs[0][2] == outs[1][2]).all(), (outs[0][2], outs[1][2])
+    assert np.allclose(outs[0][1], outs[1][1], atol=5e-3)
+    assert np.abs(outs[0][0] - outs[1][0]).max() < 2e-2
 
 
 def test_register_pair_ldmk_fused_iteration_equivalence():
