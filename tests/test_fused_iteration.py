@@ -607,6 +607,27 @@ def test_register_pair_ldmk_fused_iteration_equivalence():
     assert np.abs(outs[0][0] - outs[1][0]).max() < 5e-3
 
 
+def test_register_batch_fused_iteration_vmaps():
+    """register_batch (the non-stream eval path) vmaps register_pair —
+    the fused Pallas kernels must survive the vmap batching rule."""
+    from deformationpyramid_tpu.data.synthetic import make_pair
+    from deformationpyramid_tpu.solve.registration import (
+        SolverConfig, register_batch)
+
+    s0, t0, _ = make_pair(n=300, seed=0, deform=0.12)
+    s1, t1, _ = make_pair(n=300, seed=1, deform=0.12)
+    src = jnp.stack([jnp.array(s0), jnp.array(s1)])
+    tgt = jnp.stack([jnp.array(t0), jnp.array(t1)])
+    keys = jax.random.split(jax.random.key(0), 2)
+    cfg = SolverConfig(pyramid=NDPConfig(m=2, k0=-6, depth=3, width=48),
+                       iters=12, samples=256, use_fused_iteration=True)
+    w, st = jax.jit(lambda k, s, t: register_batch(k, s, t, cfg))(
+        keys, src, tgt)
+    assert np.asarray(st["iters"]).shape == (2, 2)
+    assert np.isfinite(np.asarray(w)).all()
+    assert np.abs(np.asarray(w) - np.asarray(src)).max() > 1e-4
+
+
 def test_register_pair_fused_iteration_equivalence():
     """register_pair with use_fused_iteration matches the default path:
     same per-level iteration counts, warped cloud within f32 drift."""
