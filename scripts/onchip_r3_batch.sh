@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-3 on-chip measurement batch — run once when the axon tunnel is
+# back (single chip: steps run strictly sequentially). Logs everything
+# under snapshot/onchip_r3/. Queued A/Bs (CLAUDE.md ledger):
+#   1. fused-sweep kernel knobs (MXU distances / packed selection)
+#   2. one-kernel landmark iteration vs unfused LNDP level loop
+#   3. Sim3 shape-transfer demo through the fused path (validation)
+#   4. bench.py fused vs unfused (median-of-3 each)
+set -u
+cd "$(dirname "$0")/.."
+OUT=snapshot/onchip_r3
+mkdir -p "$OUT"
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%SZ)) ===" | tee -a "$OUT/batch.log"
+  timeout "$t" "$@" >"$OUT/$name.log" 2>&1
+  echo "exit=$? ($name)" | tee -a "$OUT/batch.log"
+  tail -20 "$OUT/$name.log"
+}
+
+run ab_fused_sweep   1800 python scripts/ab_fused_sweep.py 2000 400
+run ab_ldmk_iter     1800 python scripts/ab_ldmk_iteration.py 256 400
+run demo_fused       1800 env DP_FUSED_ITER=1 python -m deformationpyramid_tpu.cli.shape_transfer \
+    -s /root/reference/sim3_demo/AlienSoldier.ply \
+    -t /root/reference/sim3_demo/Ortiz.ply \
+    -o "$OUT/warped_fused.ply" --samples 3000
+run demo_unfused     1800 env DP_FUSED_ITER=0 python -m deformationpyramid_tpu.cli.shape_transfer \
+    -s /root/reference/sim3_demo/AlienSoldier.ply \
+    -t /root/reference/sim3_demo/Ortiz.ply \
+    -o "$OUT/warped_unfused.ply" --samples 3000
+run bench_fused      2400 env BENCH_FUSED_ITER=1 python bench.py
+run bench_unfused    2400 env BENCH_FUSED_ITER=0 python bench.py
+echo "=== batch done ($(date -u +%H:%M:%SZ)) ===" | tee -a "$OUT/batch.log"

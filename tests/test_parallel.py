@@ -41,6 +41,25 @@ def test_register_sharded_over_data_axis():
     assert (move > 1e-4).all()
 
 
+def test_register_sharded_fused_iteration():
+    """The fused-iteration Pallas kernels must survive shard_map over the
+    data axis (pairs sharded across the 8-device mesh)."""
+    import dataclasses
+
+    mesh = make_mesh()
+    b = 8
+    srcs, tgts, _ = make_batch(b, n=64, seed=3, deform=0.08)
+    keys = jax.random.split(jax.random.key(3), b)
+    cfg = dataclasses.replace(TINY, use_fused_iteration=True)
+    fn = register_sharded(mesh, cfg)
+    warped, stats = fn(keys, jnp.array(srcs), jnp.array(tgts),
+                       jnp.ones((b, 64), bool), jnp.ones((b, 64), bool))
+    assert warped.shape == (b, 64, 3)
+    assert np.isfinite(np.asarray(warped)).all()
+    move = np.abs(np.asarray(warped) - srcs).max(axis=(1, 2))
+    assert (move > 1e-4).all()
+
+
 def test_metric_psum_aggregation_matches_local():
     mesh = make_mesh()
     b, n = 8, 32
