@@ -393,6 +393,84 @@ def main():
 
     timeit("full iteration [3,N]", full_iter_t, flat_b, x, y)
 
+    # ---- 12. fused-iteration launch split (ops/fused_iteration; the
+    # production B=1 path — measured on the first pair, un-vmapped).
+    # Decides whether merging kernel 2 into the next iteration's kernel 1
+    # (halving launches) is worth building.
+    from deformationpyramid_tpu.ops import fused_iteration as fi
+
+    x1, y1 = x[0], y[0]
+    n_pad = fi._round_up(N, 128)
+    tm = min(min(512, max(8, ((1 << 20) // n_pad) // 8 * 8)),
+             fi._round_up(N, 8))
+    m_pad = fi._round_up(max(N, tm), tm)
+    xt_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :N].set(x1.T)
+    xv = jnp.zeros((n_pad,), bool).at[:N].set(True)
+    xbig = jnp.where(xv, 0.0, fi._BIG)[None, :]
+    yc = jnp.zeros((m_pad, 3), jnp.float32).at[:N].set(y1)
+    yv = jnp.zeros((m_pad,), bool).at[:N].set(True)
+    ysqb = jnp.where(yv, jnp.sum(yc * yc, axis=-1), fi._BIG)[:, None]
+    xl = jnp.float32(N)
+    freq = jnp.exp2(jnp.float32(4) + 1.0 + CFG.k0).reshape(1, 1)
+    p_t = fi.params_to_t(unravel(flat0))
+    m_t = [jnp.zeros_like(a) for a in p_t]
+    v_t = [jnp.zeros_like(a) for a in p_t]
+    scal0 = jnp.zeros((1, 1), jnp.float32)
+
+    @jax.jit
+    def fused_k1(xt):
+        def body(i, c):
+            warped, _, _, _, _ = fi._fwd_sweep_call(
+                freq, c, xbig, yc, ysqb, p_t, mlp_scale=CFG.mlp_scale,
+                tm=tm, interpret=False)
+            return c + 1e-9 * warped
+        return jax.lax.fori_loop(0, ITERS, body, xt)
+
+    timeit("fused k1 (warp+sweep)", fused_k1, xt_pad)
+
+    @jax.jit
+    def fused_k1_glue(xt):
+        def body(i, c):
+            warped, _, cidx, _, rarg = fi._fwd_sweep_call(
+                freq, c, xbig, yc, ysqb, p_t, mlp_scale=CFG.mlp_scale,
+                tm=tm, interpret=False)
+            loss, g_t = fi._chamfer_glue(warped, cidx, rarg, yc, xv, yv,
+                                         xl, xl, 1e9)
+            return c + 1e-9 * g_t + 1e-12 * loss
+        return jax.lax.fori_loop(0, ITERS, body, xt)
+
+    timeit("fused k1 + glue", fused_k1_glue, xt_pad)
+
+    @jax.jit
+    def fused_k2(p0):
+        g_pad = xt_pad * 1e-3
+
+        def body(i, c):
+            p, m, v = c
+            newp, newm, newv = fi._bwd_adam_call(
+                freq, scal0, scal0, xt_pad, g_pad, p, m, v,
+                mlp_scale=CFG.mlp_scale, lr=0.01, b1=0.9, b2=0.999,
+                eps=1e-8, tn=1024, interpret=False)
+            return (newp, newm, newv)
+
+        return jax.lax.fori_loop(0, ITERS, body, (p0, m_t, v_t))
+
+    timeit("fused k2 (vjp+adam)", fused_k2, p_t)
+
+    from deformationpyramid_tpu.solve.loop import LoopConfig
+
+    lcfg_fixed = LoopConfig(iters=ITERS, lr=0.01, max_break_count=10**9,
+                            break_threshold_ratio=0.0, loss_eps=0.0)
+
+    @jax.jit
+    def fused_full(x1_):
+        return fi.run_fused_level(unravel(flat0), x1_,
+                                  jnp.ones((N,), bool), y1,
+                                  jnp.ones((N,), bool), jnp.int32(4),
+                                  CFG, lcfg_fixed)[2]["loss"]
+
+    timeit("fused full iteration (k1+glue+k2)", fused_full, x1)
+
 
 if __name__ == "__main__":
     main()

@@ -19,6 +19,7 @@ run() {  # run <name> <timeout_s> <cmd...>
   tail -20 "$OUT/$name.log"
 }
 
+run ablate_b1        2400 python scripts/ablate_iteration.py 1 400
 run ab_fused_sweep   1800 python scripts/ab_fused_sweep.py 2000 400
 run ab_ldmk_iter     1800 python scripts/ab_ldmk_iteration.py 256 400
 run demo_fused       1800 env DP_FUSED_ITER=1 python -m deformationpyramid_tpu.cli.shape_transfer \
