@@ -414,9 +414,7 @@ def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
     out_specs = [const(a) for a in params_t * 3]
     out_shape = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
                  for a in params_t * 3]
-    scratch = [pltpu.VMEM(a.shape, jnp.float32) for a in params_t] \
-        if not interpret else [
-            pltpu.VMEM(a.shape, jnp.float32) for a in params_t]
+    scratch = [pltpu.VMEM(a.shape, jnp.float32) for a in params_t]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
