@@ -32,4 +32,11 @@ run demo_unfused     1800 env DP_FUSED_ITER=0 python -m deformationpyramid_tpu.c
     -o "$OUT/warped_unfused.ply" --samples 3000
 run bench_fused      2400 env BENCH_FUSED_ITER=1 python bench.py
 run bench_unfused    2400 env BENCH_FUSED_ITER=0 python bench.py
+# LNDP end-to-end with trained weights: one-kernel landmark solver A/B
+run lndp_fused       3600 env DP_FUSED_ITER=1 python -m deformationpyramid_tpu.cli.eval_supervised \
+    --config config/LNDP.yaml --splits 4DMatch-F --limit 24 \
+    --weights snapshot/landmark_trained.npz --log-dir "$OUT/lndp_fused"
+run lndp_unfused     3600 env DP_FUSED_ITER=0 python -m deformationpyramid_tpu.cli.eval_supervised \
+    --config config/LNDP.yaml --splits 4DMatch-F --limit 24 \
+    --weights snapshot/landmark_trained.npz --log-dir "$OUT/lndp_unfused"
 echo "=== batch done ($(date -u +%H:%M:%SZ)) ===" | tee -a "$OUT/batch.log"
