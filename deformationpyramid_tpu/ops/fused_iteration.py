@@ -501,12 +501,14 @@ def supports_fused_iteration(pcfg, w_reg: float, n_ldmk: int) -> bool:
 
 def supports_fused_iteration_ldmk(pcfg, w_reg: float, n_ldmk: int,
                                   w_cd: float) -> bool:
-    """The one-kernel landmark path covers the LNDP level loop: pure
-    landmark L2 objective (``w_cd == 0``, ``w_reg == 0`` —
-    ``config/LNDP.yaml``), same warp-chain coverage as
+    """The landmark paths cover the LNDP level loop (``w_reg == 0`` —
+    ``config/LNDP.yaml``): ``w_cd == 0`` takes the one-kernel pure-L2
+    iteration (:func:`run_fused_level_ldmk`); ``w_cd > 0`` takes the
+    two-kernel path with the landmark term folded into the glue
+    (``run_fused_level(n_ldmk=...)``). Same warp-chain coverage as
     :func:`supports_fused_iteration`."""
     return (_supports_warp(pcfg) and not pcfg.nonrigidity_est
-            and w_reg == 0 and n_ldmk > 0 and w_cd == 0)
+            and w_reg == 0 and n_ldmk > 0)
 
 
 # ---------------------------------------------------------------------------
@@ -539,16 +541,23 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
                     interpret: bool | None = None,
                     mxu_dist: bool | None = None,
                     packed: bool | None = None,
-                    w_reg: float = 0.0):
+                    w_reg: float = 0.0,
+                    n_ldmk: int = 0, tgt_ldmk: Array | None = None,
+                    ldmk_valid: Array | None = None, w_cd: float = 1.0):
     """Adam-optimize one pyramid level with the two-kernel iteration.
 
-    Drop-in for the unfused ``_solve_level`` body (chamfer mode): same
-    3-way early stop, same pre-step warped-points handoff, same optax
-    Adam math. With ``pcfg.nonrigidity_est`` the warp applies the
-    level>0 nonrigidity gate in-kernel and the loss adds the
-    ``w_reg``-weighted BCE-vs-zeros term (its exact-autodiff gradient
-    rides into kernel 2 as the nr cotangent). Returns (updated level
-    params dict, warped pts [N, 3], stats {iters, loss}).
+    Drop-in for the unfused ``_solve_level`` body: same 3-way early
+    stop, same pre-step warped-points handoff, same optax Adam math.
+    With ``pcfg.nonrigidity_est`` the warp applies the level>0
+    nonrigidity gate in-kernel and the loss adds the ``w_reg``-weighted
+    BCE-vs-zeros term (its exact-autodiff gradient rides into kernel 2
+    as the nr cotangent). With ``n_ldmk > 0`` (landmark + chamfer mode,
+    reference ``registration.py:187-216``) ``pts`` is [ldmk ; sample]:
+    the first ``n_ldmk`` rows carry the masked mean-squared landmark
+    term while the chamfer term sees only the sample rows (landmark
+    rows are +BIG-masked out of both sweep directions) scaled by
+    ``w_cd`` and truncated at ``trunc``. Returns (updated level params
+    dict, warped pts [N, 3], stats {iters, loss}).
     """
     if interpret is None:
         interpret = not _on_tpu()
@@ -572,7 +581,11 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
 
     xt_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(
         pts.astype(jnp.float32).T)
-    xv = jnp.zeros((n_pad,), bool).at[:n].set(pts_valid)
+    row_valid = jnp.zeros((n_pad,), bool).at[:n].set(pts_valid)
+    # chamfer sees only the sample rows: landmark rows are excluded from
+    # both sweep directions (+BIG) and from the glue's keep mask,
+    # matching chamfer(warped[n_ldmk:], ...) in the unfused loss
+    xv = row_valid & (jnp.arange(n_pad) >= n_ldmk)
     xbig = jnp.where(xv, 0.0, _BIG)[None, :]
     yc_pad = jnp.zeros((m_pad, 3), jnp.float32).at[:m].set(
         t_sample.astype(jnp.float32))
@@ -580,6 +593,15 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
     ysqb = jnp.where(yv, jnp.sum(yc_pad * yc_pad, axis=-1), _BIG)[:, None]
     x_len = jnp.maximum(jnp.sum(xv), 1).astype(jnp.float32)
     y_len = jnp.maximum(jnp.sum(yv), 1).astype(jnp.float32)
+    if n_ldmk > 0:
+        lmask = jnp.zeros((1, n_pad), jnp.float32).at[0, :n_ldmk].set(
+            ldmk_valid.astype(jnp.float32))
+        lcount = jnp.maximum(jnp.sum(lmask), 1.0)
+        ltgt_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :n_ldmk].set(
+            tgt_ldmk.astype(jnp.float32).T)
+        cham_w = w_cd
+    else:
+        cham_w = 1.0
 
     freq = jnp.exp2(jnp.asarray(level, jnp.float32) + 1.0 + pcfg.k0)
     freq = freq.reshape(1, 1)
@@ -605,6 +627,12 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
         warped_t, _, cidx, _, rarg = outs[:5]
         loss, g_t = _chamfer_glue(warped_t, cidx, rarg, yc_pad, xv, yv,
                                   x_len, y_len, trunc)
+        if n_ldmk > 0:
+            # masked mean-squared landmark term over the first n_ldmk
+            # rows + w_cd-scaled chamfer (reference registration.py:205-216)
+            diff = (warped_t - ltgt_pad) * lmask
+            loss = jnp.sum(diff * diff) / lcount + cham_w * loss
+            g_t = (2.0 / lcount) * diff + cham_w * g_t
         g_nr = None
         if nonrigid:
             # loss += where(level>0, w_reg * BCE(nr, 0), 0); exact

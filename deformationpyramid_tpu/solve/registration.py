@@ -109,9 +109,16 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
                                    t_valid, lvl, pcfg, lcfg,
                                    w_reg=cfg.w_reg)
         if supports_fused_iteration_ldmk(pcfg, cfg.w_reg, n_ldmk, cfg.w_cd):
-            # w_cd == 0 => pts IS the landmark rows (see register_pair)
-            return run_fused_level_ldmk(lvl_params, pts, ldmk_valid,
-                                        tgt_ldmk, lvl, pcfg, lcfg)
+            if cfg.w_cd == 0:
+                # w_cd == 0 => pts IS the landmark rows (register_pair)
+                return run_fused_level_ldmk(lvl_params, pts, ldmk_valid,
+                                            tgt_ldmk, lvl, pcfg, lcfg)
+            # landmark + chamfer: pts = [ldmk ; sample], chamfer truncated
+            return run_fused_level(lvl_params, pts, pts_valid, t_sample,
+                                   t_valid, lvl, pcfg, lcfg,
+                                   trunc=cfg.trunc_cd, n_ldmk=n_ldmk,
+                                   tgt_ldmk=tgt_ldmk, ldmk_valid=ldmk_valid,
+                                   w_cd=cfg.w_cd)
     # Fused level-warp kernels are opt-in: the A/B on the tunneled v5e chip
     # measured 0.397 (fused) vs 0.377 (unfused) ms/iteration at B=4 — the
     # kernel boundaries trade ~1:1 against XLA's own fusion here because

@@ -386,8 +386,8 @@ def test_supports_gate_ldmk():
         supports_fused_iteration_ldmk)
 
     assert supports_fused_iteration_ldmk(CFG, 0.0, 5, 0.0)
+    assert supports_fused_iteration_ldmk(CFG, 0.0, 5, 0.1)   # ldmk+chamfer
     assert not supports_fused_iteration_ldmk(CFG, 0.0, 0, 0.0)   # no ldmk
-    assert not supports_fused_iteration_ldmk(CFG, 0.0, 5, 0.1)   # chamfer on
     assert not supports_fused_iteration_ldmk(CFG, 0.5, 5, 0.0)   # w_reg
     assert supports_fused_iteration_ldmk(
         NDPConfig(rotation_format="quaternion"), 0.0, 5, 0.0)
@@ -577,9 +577,12 @@ def test_register_pair_nonrigid_fused_iteration_equivalence():
     assert np.abs(outs[0][0] - outs[1][0]).max() < 2e-2
 
 
-def test_register_pair_ldmk_fused_iteration_equivalence():
-    """register_pair in LNDP landmark mode (w_cd=0) with the fused
-    one-kernel iteration matches the default path."""
+@pytest.mark.parametrize("w_cd", [0.0, 0.5])
+def test_register_pair_ldmk_fused_iteration_equivalence(w_cd):
+    """register_pair in landmark mode with the fused iteration matches
+    the default path — w_cd=0 takes the one-kernel pure-L2 path (LNDP
+    config), w_cd>0 the two-kernel path with the landmark term in the
+    glue and the truncated chamfer on the sample rows."""
     from deformationpyramid_tpu.data.synthetic import make_pair
     from deformationpyramid_tpu.solve.registration import (
         SolverConfig, register_pair)
@@ -592,7 +595,7 @@ def test_register_pair_ldmk_fused_iteration_equivalence():
     lv = jnp.asarray(rng.random(48) > 0.25)
     base = dict(pyramid=NDPConfig(m=3, k0=-6, depth=3, width=48), iters=30,
                 lr=0.01, max_break_count=15, break_threshold_ratio=0.001,
-                samples=256, w_cd=0.0)
+                samples=256, w_cd=w_cd, trunc_cd=0.25)
     outs = []
     for fi in (False, True):
         cfg = SolverConfig(**base, use_fused_iteration=fi)
@@ -605,6 +608,47 @@ def test_register_pair_ldmk_fused_iteration_equivalence():
     assert (outs[0][2] == outs[1][2]).all(), (outs[0][2], outs[1][2])
     assert np.allclose(outs[0][1], outs[1][1], atol=5e-4)
     assert np.abs(outs[0][0] - outs[1][0]).max() < 5e-3
+
+
+def test_run_fused_level_ldmk_chamfer_matches_run_adam_loop():
+    """Landmark + chamfer objective (w_cd > 0): the two-kernel path with
+    the landmark term folded into the glue matches the unfused loss —
+    chamfer sees ONLY the sample rows, truncated at trunc_cd."""
+    w_cd, trunc_cd = 0.5, 0.25
+    n_l = 40
+    pts, tgt, lvl_p = _setup(n=200, m=220, seed=11)
+    rng = np.random.default_rng(11)
+    tgt_l = pts[:n_l] + jnp.asarray(
+        rng.standard_normal((n_l, 3)) * 0.05, jnp.float32)
+    lv = jnp.asarray(rng.random(n_l) > 0.25)
+    pts_valid = jnp.ones((pts.shape[0],), bool)
+    t_valid = jnp.ones((tgt.shape[0],), bool)
+    lcfg = LoopConfig(iters=25, lr=0.01, max_break_count=15,
+                      break_threshold_ratio=0.001)
+
+    new_p, warped, stats = run_fused_level(
+        lvl_p, pts, pts_valid, tgt, t_valid, jnp.int32(1), CFG, lcfg,
+        interpret=True, trunc=trunc_cd, n_ldmk=n_l, tgt_ldmk=tgt_l,
+        ldmk_valid=lv, w_cd=w_cd)
+
+    def loss_fn(p, it, key):
+        w, _ = level_warp(p, pts, 1, CFG)
+        sq = jnp.sum((w[:n_l] - tgt_l) ** 2, axis=-1)
+        loss = jnp.sum(jnp.where(lv, sq, 0.0)) / jnp.maximum(
+            jnp.sum(lv), 1)
+        loss = loss + w_cd * truncated_chamfer(
+            w[n_l:], tgt, trunc=trunc_cd, use_pallas=False)
+        return loss, w
+
+    ref_p, ref_warped, ref_stats = run_adam_loop(loss_fn, lvl_p, lcfg,
+                                                 aux_init=pts)
+    assert int(stats["iters"]) == int(ref_stats["iters"])
+    assert abs(float(stats["loss"]) - float(ref_stats["loss"])) < 1e-4
+    assert np.abs(np.asarray(warped) - np.asarray(ref_warped)).max() < 1e-3
+    for k in ref_p:
+        for kk in ref_p[k]:
+            a, b = np.asarray(ref_p[k][kk]), np.asarray(new_p[k][kk])
+            assert np.abs(a - b).max() < 1e-3, (k, kk)
 
 
 def test_register_batch_fused_iteration_vmaps():
