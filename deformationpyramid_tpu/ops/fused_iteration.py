@@ -638,7 +638,11 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
             # loss += where(level>0, w_reg * BCE(nr, 0), 0); exact
             # autodiff gradient wrt nr goes to kernel 2 as a cotangent
             # (reference registration.py:216-220)
-            reg, vjp_nr = jax.vjp(lambda q: _bce_zeros_row(q, xv), outs[5])
+            # mask = ALL valid rows (unfused uses pts_valid, not the
+            # chamfer-only sample mask — they only differ when landmarks
+            # are present, which the gates keep off the nonrigid path)
+            reg, vjp_nr = jax.vjp(
+                lambda q: _bce_zeros_row(q, row_valid), outs[5])
             w_eff = gate[0, 0] * w_reg
             loss = loss + w_eff * reg
             (g_nr,) = vjp_nr(w_eff)
