@@ -19,9 +19,12 @@ run() {  # run <name> <timeout_s> <cmd...>
   tail -20 "$OUT/$name.log"
 }
 
-run ablate_b1        2400 python scripts/ablate_iteration.py 1 400
+# highest-value first in case the tunnel is only briefly up
 run ab_fused_sweep   1800 python scripts/ab_fused_sweep.py 2000 400
+run bench_fused      2400 env BENCH_FUSED_ITER=1 python bench.py
 run ab_ldmk_iter     1800 python scripts/ab_ldmk_iteration.py 256 400
+run bench_unfused    2400 env BENCH_FUSED_ITER=0 python bench.py
+run ablate_b1        2400 python scripts/ablate_iteration.py 1 400
 run demo_fused       1800 env DP_FUSED_ITER=1 python -m deformationpyramid_tpu.cli.shape_transfer \
     -s /root/reference/sim3_demo/AlienSoldier.ply \
     -t /root/reference/sim3_demo/Ortiz.ply \
@@ -30,8 +33,6 @@ run demo_unfused     1800 env DP_FUSED_ITER=0 python -m deformationpyramid_tpu.c
     -s /root/reference/sim3_demo/AlienSoldier.ply \
     -t /root/reference/sim3_demo/Ortiz.ply \
     -o "$OUT/warped_unfused.ply" --samples 3000
-run bench_fused      2400 env BENCH_FUSED_ITER=1 python bench.py
-run bench_unfused    2400 env BENCH_FUSED_ITER=0 python bench.py
 # LNDP end-to-end with trained weights: one-kernel landmark solver A/B
 run lndp_fused       3600 env DP_FUSED_ITER=1 python -m deformationpyramid_tpu.cli.eval_supervised \
     --config config/LNDP.yaml --splits 4DMatch-F --limit 24 \
