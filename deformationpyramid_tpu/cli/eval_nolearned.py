@@ -81,7 +81,8 @@ def solver_from_config(cfg: AttrDict):
             iters=cfg.get("iters", 5000), lr=cfg.get("lr", 0.01),
             max_break_count=cfg.get("max_break_count", 70),
             break_threshold_ratio=cfg.get("break_threshold_ratio", 0.001),
-            samples=cfg.get("samples", 2000))
+            samples=cfg.get("samples", 2000),
+            use_fused_iteration=_fused_iter_default(cfg))
         fn = jax.jit(jax.vmap(
             lambda k, s, t, sv, tv: register_nsfp(k, s, t, scfg, sv, tv)))
         return scfg, fn, "full"

@@ -96,10 +96,37 @@ def _n_params(motion: str, nonrigid: bool = False) -> int:
     return n + (2 if nonrigid else 0)
 
 
+def _nsfp_forward_t(xt, *p):
+    """Transposed NSFP flow field (``models/baselines.nsfp_flow``,
+    reference ``nets.py:256-292``): [3, N] points through an L-layer MLP
+    ([out, in] weights, [out, 1] biases, ReLU on all but the last
+    layer), returning the warped points ``xt + flow``. ``p`` interleaves
+    (w0_t, b0, w1_t, b1, ...); wide matmuls via bf16x3 (`_dot_wide`)."""
+    h = xt
+    n_layers = len(p) // 2
+    for i in range(n_layers):
+        h = _dot_wide(p[2 * i], h) + p[2 * i + 1]
+        if i < n_layers - 1:
+            h = jnp.maximum(h, 0.0)
+    return xt + h
+
+
+def _fwd_model_t(model: str, xt, freq, p, *, mlp_scale, motion,
+                 rotation_format, nonrigid, gate):
+    """Static dispatch of the in-kernel forward: "ndp" (the pyramid
+    level warp) or "nsfp" (the Neural Prior flow field)."""
+    if model == "nsfp":
+        return _nsfp_forward_t(xt, *p)
+    return _forward_math_t(xt, freq, *p, mlp_scale=mlp_scale,
+                           motion=motion, rotation_format=rotation_format,
+                           nonrigid=nonrigid, gate=gate)
+
+
 def _fwd_sweep_kernel(freq_ref, gate_ref, xt_ref, xbig_ref, yc_ref,
                       ysqb_ref, *refs, mlp_scale: float, tm: int,
                       m_pad: int, mxu_dist: bool, packed: bool,
-                      motion: str, rotation_format: str, nonrigid: bool):
+                      motion: str, rotation_format: str, nonrigid: bool,
+                      np_: int, model: str):
     """Warp the level's points, then sweep distance tiles for both 1-NN
     directions.
 
@@ -123,7 +150,6 @@ def _fwd_sweep_kernel(freq_ref, gate_ref, xt_ref, xbig_ref, yc_ref,
     ``xbig``/``ysqb`` carry +BIG at padded/invalid entries so they never
     win a min in either direction.
     """
-    np_ = _n_params(motion, nonrigid)
     p_refs = refs[:np_]
     if nonrigid:
         (warped_ref, cmin_ref, cidx_ref, rmin_ref, rarg_ref,
@@ -132,11 +158,11 @@ def _fwd_sweep_kernel(freq_ref, gate_ref, xt_ref, xbig_ref, yc_ref,
         warped_ref, cmin_ref, cidx_ref, rmin_ref, rarg_ref = refs[np_:]
     xt = xt_ref[:]
     freq = freq_ref[0, 0]
-    out = _forward_math_t(xt, freq, *[r[:] for r in p_refs],
-                          mlp_scale=mlp_scale, motion=motion,
-                          rotation_format=rotation_format,
-                          nonrigid=nonrigid,
-                          gate=gate_ref[0, 0] if nonrigid else None)
+    out = _fwd_model_t(model, xt, freq, [r[:] for r in p_refs],
+                       mlp_scale=mlp_scale, motion=motion,
+                       rotation_format=rotation_format,
+                       nonrigid=nonrigid,
+                       gate=gate_ref[0, 0] if nonrigid else None)
     if nonrigid:
         warped, nr = out
         nr_ref[:] = nr
@@ -220,13 +246,14 @@ def _fwd_sweep_kernel(freq_ref, gate_ref, xt_ref, xbig_ref, yc_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "mlp_scale", "tm", "interpret", "mxu_dist", "packed", "motion",
-    "rotation_format", "nonrigid"))
+    "rotation_format", "nonrigid", "model"))
 def _fwd_sweep_call(freq, xt_pad, xbig, yc_pad, ysqb, params_t,
                     mlp_scale: float, tm: int, interpret: bool,
                     mxu_dist: bool = False, packed: bool = False,
                     motion: str = "SE3",
                     rotation_format: str = "axis_angle",
-                    nonrigid: bool = False, gate=None):
+                    nonrigid: bool = False, gate=None,
+                    model: str = "ndp"):
     n_pad = xt_pad.shape[1]
     m_pad = yc_pad.shape[0]
     np_ = len(params_t)
@@ -237,7 +264,7 @@ def _fwd_sweep_call(freq, xt_pad, xbig, yc_pad, ysqb, params_t,
                                tm=tm, m_pad=m_pad, mxu_dist=mxu_dist,
                                packed=packed, motion=motion,
                                rotation_format=rotation_format,
-                               nonrigid=nonrigid)
+                               nonrigid=nonrigid, np_=np_, model=model)
     if interpret:
         in_specs = [pl.BlockSpec()] * (6 + np_)
         out_specs = [pl.BlockSpec()] * n_out
@@ -314,7 +341,8 @@ def _chamfer_glue(warped_t: Array, cidx: Array, rarg: Array, yc: Array,
 def _bwd_adam_kernel(freq_ref, step_ref, done_ref, gate_ref, xt_ref,
                      g_ref, gnr_ref, *refs, mlp_scale: float, lr: float,
                      b1: float, b2: float, eps: float, motion: str,
-                     rotation_format: str, nonrigid: bool):
+                     rotation_format: str, nonrigid: bool, np_: int,
+                     model: str):
     """Grid over N lane-tiles: per tile, jax.vjp of the recomputed warp
     accumulates parameter gradients into VMEM scratch; the LAST tile
     applies the optax-exact Adam update (bias correction by applied-step
@@ -322,7 +350,6 @@ def _bwd_adam_kernel(freq_ref, step_ref, done_ref, gate_ref, xt_ref,
     no-step-after-break semantics). With ``nonrigid`` the vjp takes the
     (warped, nonrigidity) cotangent pair — ``gnr`` carries the BCE reg
     gradient from the glue."""
-    np_ = _n_params(motion, nonrigid)
     p_refs = refs[:np_]
     m_refs = refs[np_:2 * np_]
     v_refs = refs[2 * np_:3 * np_]
@@ -334,11 +361,11 @@ def _bwd_adam_kernel(freq_ref, step_ref, done_ref, gate_ref, xt_ref,
     freq = freq_ref[0, 0]
 
     def f(*params):
-        return _forward_math_t(xt, freq, *params, mlp_scale=mlp_scale,
-                               motion=motion,
-                               rotation_format=rotation_format,
-                               nonrigid=nonrigid,
-                               gate=gate_ref[0, 0] if nonrigid else None)
+        return _fwd_model_t(model, xt, freq, params, mlp_scale=mlp_scale,
+                            motion=motion,
+                            rotation_format=rotation_format,
+                            nonrigid=nonrigid,
+                            gate=gate_ref[0, 0] if nonrigid else None)
 
     _, vjp = jax.vjp(f, *[r[:] for r in p_refs])
     grads = vjp((g_ref[:], gnr_ref[:]) if nonrigid else g_ref[:])
@@ -378,13 +405,14 @@ def _bwd_adam_kernel(freq_ref, step_ref, done_ref, gate_ref, xt_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "mlp_scale", "lr", "b1", "b2", "eps", "tn", "interpret", "motion",
-    "rotation_format", "nonrigid"))
+    "rotation_format", "nonrigid", "model"))
 def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
                    mlp_scale: float, lr: float, b1: float, b2: float,
                    eps: float, tn: int, interpret: bool,
                    motion: str = "SE3",
                    rotation_format: str = "axis_angle",
-                   nonrigid: bool = False, gate=None, g_nr=None):
+                   nonrigid: bool = False, gate=None, g_nr=None,
+                   model: str = "ndp"):
     n_pad = xt_pad.shape[1]
     tn = min(tn, n_pad)
     grid = (n_pad // tn,)
@@ -395,7 +423,8 @@ def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
     kernel = functools.partial(_bwd_adam_kernel, mlp_scale=mlp_scale,
                                lr=lr, b1=b1, b2=b2, eps=eps, motion=motion,
                                rotation_format=rotation_format,
-                               nonrigid=nonrigid)
+                               nonrigid=nonrigid, np_=len(params_t),
+                               model=model)
     mem = {} if interpret else {"memory_space": pltpu.VMEM}
     smem = {} if interpret else {"memory_space": pltpu.SMEM}
 
@@ -867,3 +896,104 @@ def run_fused_level_ldmk(lvl_params: dict, pts: Array, ldmk_valid: Array,
     stats = {"iters": out["it"], "loss": out["loss"]}
     warped = out["aux"].T[:n]
     return t_to_params(out["p"], motion=pcfg.motion), warped, stats
+
+
+# ---------------------------------------------------------------------------
+# Fused NSFP loop (baseline Neural Prior, two-kernel iteration)
+# ---------------------------------------------------------------------------
+
+def nsfp_params_to_t(params: list[dict]) -> list[Array]:
+    """NSFP layer list [{w [in,out], b [out]}] -> interleaved transposed
+    tensors for :func:`_nsfp_forward_t`."""
+    t = []
+    for p in params:
+        t += [p["w"].T, p["b"][:, None]]
+    return t
+
+
+def nsfp_t_to_params(t: list[Array]) -> list[dict]:
+    """Inverse of :func:`nsfp_params_to_t` (transposes/reshapes only)."""
+    return [{"w": t[2 * i].T, "b": t[2 * i + 1][:, 0]}
+            for i in range(len(t) // 2)]
+
+
+def run_fused_nsfp(params: list[dict], s_sample: Array, s_valid: Array,
+                   t_sample: Array, t_valid: Array, lcfg,
+                   tm: int = 512, tn: int = 1024,
+                   interpret: bool | None = None):
+    """Adam-optimize the NSFP flow field with the two-kernel iteration.
+
+    Drop-in for the unfused ``solve/baselines.optimize_nsfp`` loop body
+    (reference ``registration.py:305-330``: plain-chamfer objective,
+    trunc=1e9, same 3-way early stop / optax Adam). Returns
+    (updated params list, stats {iters, loss}).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    n = s_sample.shape[0]
+    m = t_sample.shape[0]
+    n_pad = _round_up(max(n, 128), 128)
+    tm = min(tm, max(8, ((1 << 20) // n_pad) // 8 * 8))
+    tm = min(tm, _round_up(max(m, 8), 8))
+    m_pad = _round_up(max(m, tm), tm)
+    mxu_dist = _SWEEP_MXU_DIST
+    packed = _SWEEP_PACKED and n_pad <= 2048 and m_pad <= 2048
+
+    xt_pad = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(
+        s_sample.astype(jnp.float32).T)
+    xv = jnp.zeros((n_pad,), bool).at[:n].set(s_valid)
+    xbig = jnp.where(xv, 0.0, _BIG)[None, :]
+    yc_pad = jnp.zeros((m_pad, 3), jnp.float32).at[:m].set(
+        t_sample.astype(jnp.float32))
+    yv = jnp.zeros((m_pad,), bool).at[:m].set(t_valid)
+    ysqb = jnp.where(yv, jnp.sum(yc_pad * yc_pad, axis=-1), _BIG)[:, None]
+    x_len = jnp.maximum(jnp.sum(xv), 1).astype(jnp.float32)
+    y_len = jnp.maximum(jnp.sum(yv), 1).astype(jnp.float32)
+
+    freq = jnp.zeros((1, 1), jnp.float32)   # unused by the nsfp forward
+    p0 = nsfp_params_to_t(params)
+    zeros = [jnp.zeros_like(a) for a in p0]
+
+    def cond(c):
+        return (c["it"] < lcfg.iters) & jnp.logical_not(c["done"])
+
+    def body(c):
+        warped_t, _, cidx, _, rarg = _fwd_sweep_call(
+            freq, xt_pad, xbig, yc_pad, ysqb, c["p"],
+            mlp_scale=0.0, tm=tm, interpret=interpret,
+            mxu_dist=mxu_dist, packed=packed, model="nsfp")
+        loss, g_t = _chamfer_glue(warped_t, cidx, rarg, yc_pad, xv, yv,
+                                  x_len, y_len, 1e9)
+        small = loss < lcfg.loss_eps
+        plateau = jnp.abs(c["loss_prev"] - loss) \
+            < c["loss_prev"] * lcfg.break_threshold_ratio
+        counter = c["counter"] + plateau.astype(jnp.int32)
+        done = small | (counter >= lcfg.max_break_count)
+        newp, newm, newv = _bwd_adam_call(
+            freq, c["applied"].astype(jnp.float32).reshape(1, 1),
+            done.astype(jnp.float32).reshape(1, 1), xt_pad, g_t,
+            c["p"], c["m"], c["v"], mlp_scale=0.0, lr=lcfg.lr,
+            b1=0.9, b2=0.999, eps=1e-8, tn=tn, interpret=interpret,
+            model="nsfp")
+        return {
+            "p": newp, "m": newm, "v": newv,
+            "loss_prev": jnp.where(done, c["loss_prev"], loss),
+            "counter": counter,
+            "done": done,
+            "it": c["it"] + 1,
+            "applied": c["applied"] + (1 - done.astype(jnp.int32)),
+            "loss": loss,
+        }
+
+    init = {
+        "p": p0, "m": zeros, "v": [jnp.zeros_like(a) for a in p0],
+        "loss_prev": jnp.float32(1e6),
+        "counter": jnp.int32(0),
+        "done": jnp.bool_(False),
+        "it": jnp.int32(0),
+        "applied": jnp.int32(0),
+        "loss": jnp.float32(jnp.inf),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    stats = {"iters": out["it"], "loss": out["loss"]}
+    return nsfp_t_to_params(out["p"]), stats

@@ -61,6 +61,9 @@ class NSFPSolverConfig:
     break_threshold_ratio: float = 0.001
     samples: int = 2000
     use_pallas: bool | None = None
+    # two-kernel fused iteration (ops/fused_iteration.run_fused_nsfp);
+    # None/False = unfused XLA loop
+    use_fused_iteration: bool | None = None
 
 
 def optimize_nsfp(k_init: Array, s_sample: Array, s_valid: Array,
@@ -69,6 +72,14 @@ def optimize_nsfp(k_init: Array, s_sample: Array, s_valid: Array,
     (params, stats) — shares one compiled program across a sweep (see
     ``cli/eval_nolearned.py`` fast path)."""
     params = init_nsfp_params(k_init, cfg.net)
+    lcfg = LoopConfig(iters=cfg.iters, lr=cfg.lr,
+                      max_break_count=cfg.max_break_count,
+                      break_threshold_ratio=cfg.break_threshold_ratio)
+    if bool(cfg.use_fused_iteration):
+        from ..ops.fused_iteration import run_fused_nsfp
+
+        return run_fused_nsfp(params, s_sample, s_valid, t_sample,
+                              t_valid, lcfg)
 
     def loss_fn(p, it, k):
         warped = s_sample + nsfp_flow(p, s_sample, cfg.net)
@@ -77,9 +88,6 @@ def optimize_nsfp(k_init: Array, s_sample: Array, s_valid: Array,
                                  use_pallas=cfg.use_pallas)
         return loss, None
 
-    lcfg = LoopConfig(iters=cfg.iters, lr=cfg.lr,
-                      max_break_count=cfg.max_break_count,
-                      break_threshold_ratio=cfg.break_threshold_ratio)
     params, _, stats = run_adam_loop(loss_fn, params, lcfg)
     return params, stats
 

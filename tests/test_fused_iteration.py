@@ -651,6 +651,100 @@ def test_run_fused_level_ldmk_chamfer_matches_run_adam_loop():
             assert np.abs(a - b).max() < 1e-3, (k, kk)
 
 
+def test_run_fused_nsfp_matches_run_adam_loop():
+    """NSFP baseline through the generalized two-kernel iteration: the
+    in-kernel MLP flow matches nsfp_flow; the full loop matches the
+    unfused optimize_nsfp (same early-stop count, loss/params drift)."""
+    from deformationpyramid_tpu.models.baselines import (
+        NSFPConfig, init_nsfp_params, nsfp_flow)
+    from deformationpyramid_tpu.ops.fused_iteration import (
+        nsfp_params_to_t, nsfp_t_to_params, run_fused_nsfp)
+
+    ncfg = NSFPConfig(width=64, n_layers=5)
+    pts, tgt, _ = _setup(n=180, m=200, seed=6)
+    params = init_nsfp_params(jax.random.key(6), ncfg)
+
+    # roundtrip + kernel-level forward parity
+    back = nsfp_t_to_params(nsfp_params_to_t(params))
+    for a, b in zip(params, back):
+        assert np.array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+        assert np.array_equal(np.asarray(a["b"]), np.asarray(b["b"]))
+    xt_pad, xbig, yc, ysqb, xv, yv, freq, tm, n_pad, m_pad = _pad_inputs(
+        pts, tgt)
+    warped_t, _, _, _, _ = _fwd_sweep_call(
+        jnp.zeros((1, 1), jnp.float32), xt_pad, xbig, yc, ysqb,
+        nsfp_params_to_t(params), mlp_scale=0.0, tm=tm, interpret=True,
+        model="nsfp")
+    ref_warped = pts + nsfp_flow(params, pts, ncfg)
+    got = np.asarray(warped_t).T[:pts.shape[0]]
+    assert np.abs(got - np.asarray(ref_warped)).max() < 1e-5
+
+    # full-loop equivalence vs the unfused loop. NSFP has no mlp_scale:
+    # the flow starts O(1), so f32 trajectories decorrelate faster than
+    # NDP's near-identity warp — short horizon + looser band (per-step
+    # grads match to ~3e-7 relative, checked below).
+    from deformationpyramid_tpu.ops.chamfer import truncated_chamfer
+
+    lcfg = LoopConfig(iters=5, lr=0.01, max_break_count=15,
+                      break_threshold_ratio=0.001)
+    pts_valid = jnp.ones((pts.shape[0],), bool)
+    t_valid = jnp.ones((tgt.shape[0],), bool)
+    new_p, stats = run_fused_nsfp(params, pts, pts_valid, tgt, t_valid,
+                                  lcfg, interpret=True)
+
+    def loss_fn(p, it, key):
+        w = pts + nsfp_flow(p, pts, ncfg)
+        return truncated_chamfer(w, tgt, use_pallas=False), None
+
+    ref_p, _, ref_stats = run_adam_loop(loss_fn, params, lcfg)
+    assert int(stats["iters"]) == int(ref_stats["iters"])
+    assert abs(float(stats["loss"]) - float(ref_stats["loss"])) < 1e-4
+    for a, b in zip(ref_p, new_p):
+        assert np.abs(np.asarray(a["w"]) - np.asarray(b["w"])).max() < 2e-2
+        assert np.abs(np.asarray(a["b"]) - np.asarray(b["b"])).max() < 2e-2
+
+    # per-step gradient parity (the guarantee behind the horizon above)
+    from deformationpyramid_tpu.ops.fused_iteration import _nsfp_forward_t
+
+    g = jnp.asarray(np.random.default_rng(6).standard_normal(
+        pts.shape) * 0.1, jnp.float32)
+    gref = jax.grad(lambda p: jnp.sum(
+        (pts + nsfp_flow(p, pts, ncfg)) * g))(params)
+    gt = nsfp_t_to_params(list(jax.grad(lambda pt: jnp.sum(
+        _nsfp_forward_t(pts.T, *pt) * g.T))(nsfp_params_to_t(params))))
+    for a, b in zip(gref, gt):
+        for kk in ("w", "b"):
+            aa, bb = np.asarray(a[kk]), np.asarray(b[kk])
+            rel = np.abs(aa - bb).max() / max(np.abs(aa).max(), 1e-12)
+            assert rel < 1e-5, (kk, rel)
+
+
+def test_register_nsfp_fused_iteration_equivalence():
+    """register_nsfp with the fused iteration matches the default path."""
+    import dataclasses as _dc
+
+    from deformationpyramid_tpu.data.synthetic import make_pair
+    from deformationpyramid_tpu.models.baselines import NSFPConfig
+    from deformationpyramid_tpu.solve.baselines import (
+        NSFPSolverConfig, register_nsfp)
+
+    src, tgt, _ = make_pair(n=300, seed=4, deform=0.1)
+    base = NSFPSolverConfig(net=NSFPConfig(width=48, n_layers=4), iters=30,
+                            lr=0.01, max_break_count=15,
+                            break_threshold_ratio=0.001, samples=256,
+                            use_pallas=False)
+    outs = []
+    for fi in (False, True):
+        cfg = _dc.replace(base, use_fused_iteration=fi)
+        w, st = jax.jit(lambda k, s, t: register_nsfp(k, s, t, cfg))(
+            jax.random.key(0), jnp.array(src), jnp.array(tgt))
+        outs.append((np.asarray(w), np.asarray(st["loss"]),
+                     np.asarray(st["iters"])))
+    assert (outs[0][2] == outs[1][2]).all(), (outs[0][2], outs[1][2])
+    assert np.allclose(outs[0][1], outs[1][1], atol=5e-3)
+    assert np.abs(outs[0][0] - outs[1][0]).max() < 2e-2
+
+
 def test_register_batch_fused_iteration_vmaps():
     """register_batch (the non-stream eval path) vmaps register_pair —
     the fused Pallas kernels must survive the vmap batching rule."""
