@@ -23,6 +23,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 run ab_fused_sweep   1800 python scripts/ab_fused_sweep.py 2000 400
 run bench_fused      2400 env BENCH_FUSED_ITER=1 python bench.py
 run ab_ldmk_iter     1800 python scripts/ab_ldmk_iteration.py 256 400
+run ab_nsfp_iter     1800 python scripts/ab_nsfp_iteration.py 2000 400
 run bench_unfused    2400 env BENCH_FUSED_ITER=0 python bench.py
 run ablate_b1        2400 python scripts/ablate_iteration.py 1 400
 run demo_fused       1800 env DP_FUSED_ITER=1 python -m deformationpyramid_tpu.cli.shape_transfer \
