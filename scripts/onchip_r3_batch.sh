@@ -11,6 +11,16 @@ cd "$(dirname "$0")/.."
 OUT=snapshot/onchip_r3
 mkdir -p "$OUT"
 
+# preflight: bail fast if the axon tunnel is still down (backend init
+# hangs otherwise and every step would burn its full timeout)
+if ! timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+  echo "preflight FAILED: TPU backend not initializable ($(date -u))" \
+    | tee -a "$OUT/batch.log"
+  exit 1
+fi
+echo "preflight ok: $(timeout 90 python -c 'import jax; print(jax.devices())' 2>/dev/null)" \
+  | tee -a "$OUT/batch.log"
+
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
   echo "=== $name ($(date -u +%H:%M:%SZ)) ===" | tee -a "$OUT/batch.log"
