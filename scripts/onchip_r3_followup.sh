@@ -1,0 +1,33 @@
+#!/bin/bash
+# Follow-up on-chip measurements, run after onchip_r3_session2.sh:
+#   1. end-to-end bench A/B of the fused-sweep knobs (the fori-of-k1
+#      harness hit tpu_compile_helper crashes on 3/4 variants —
+#      bench.py through the full two-kernel fused iteration is the
+#      decision criterion anyway)
+#   2. 100-pair eval_nolearned --stream suite re-run at round-3 HEAD
+#      (median-of-3): re-verifies the 8.9 pairs/s headline
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+OUT=snapshot/onchip_r3
+mkdir -p "$OUT"
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== $name start $(date -u +%H:%M:%SZ) ===" | tee -a "$OUT/batch.log"
+  timeout "$t" "$@" >"$OUT/$name.log" 2>&1
+  echo "=== $name exit=$? $(date -u +%H:%M:%SZ) ===" | tee -a "$OUT/batch.log"
+}
+
+run bench_packed     2400 env BENCH_FUSED_ITER=1 DP_SWEEP_PACKED=1 python bench.py
+run bench_mxu        2400 env BENCH_FUSED_ITER=1 DP_SWEEP_MXU=1 python bench.py
+run bench_mxu_packed 2400 env BENCH_FUSED_ITER=1 DP_SWEEP_MXU=1 DP_SWEEP_PACKED=1 python bench.py
+
+# suite writes to snapshot/pyramid_level/vis/ (config folder/exp_dir);
+# stash each rep's log so the three timings stay distinguishable
+for rep in 1 2 3; do
+  run suite_rep$rep 3600 python -m deformationpyramid_tpu.cli.eval_nolearned \
+      --config config/NDP.yaml --splits 4DMatch-F --stream
+  cp snapshot/pyramid_level/vis/4DMatch-F.log "$OUT/suite_rep$rep.split.log" 2>/dev/null
+done
+echo "=== followup done ($(date -u +%H:%M:%SZ)) ===" | tee -a "$OUT/batch.log"
