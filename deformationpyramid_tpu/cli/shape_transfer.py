@@ -44,15 +44,25 @@ def register_meshes(src_pts: np.ndarray, tgt_pts: np.ndarray,
     then warp the original mesh vertices through all fitted levels and
     translate into the target frame. One jitted program end-to-end.
 
-    ``DP_FUSED_ITER=1`` routes the level solves through the two-kernel
-    fused iteration (``ops/fused_iteration.py`` — Sim3+euler is covered;
-    opt-in here until the demo shapes are validated on-chip).
+    The two-kernel fused iteration (``ops/fused_iteration.py``,
+    Sim3+euler) defaults ON when the backend is TPU — validated on-chip
+    2026-08-18 (fused vs unfused demo: same early-stop convergence, final
+    L1-chamfer 0.0452 vs 0.0404, equal wall). ``DP_FUSED_ITER=0/1``
+    overrides.
     """
     import os
 
-    if cfg.use_fused_iteration is None and os.environ.get(
-            "DP_FUSED_ITER") == "1":
-        cfg = dataclasses.replace(cfg, use_fused_iteration=True)
+    if cfg.use_fused_iteration is None:
+        env = os.environ.get("DP_FUSED_ITER")
+        if env is not None:
+            use = bool(int(env))
+        else:
+            try:
+                use = jax.default_backend() == "tpu"
+            except Exception:  # pragma: no cover
+                use = False
+        if use:
+            cfg = dataclasses.replace(cfg, use_fused_iteration=True)
 
     @jax.jit
     def run(key, src, tgt, verts):

@@ -62,6 +62,20 @@ from .fused_level import _dot_wide, _forward_math_t
 Array = jax.Array
 
 _BIG = 3.0e38
+
+
+def _compiler_params(interpret: bool):
+    """Raise Mosaic's 16 MB scoped-VMEM cap for the fused kernels.
+
+    The NDP kernels fit the default, but NSFP's deeper MLP (8 hidden
+    layers) pushes the backward+Adam kernel's stack to ~19 MB at
+    tn=2048 (measured on-chip: `scripts/ab_nsfp_iteration.py` failed
+    compile with 18.58M vs the 16M default). 64 MB leaves half of a
+    v5e core's 128 MB VMEM for double-buffered operands.
+    """
+    if interpret or not _HAS_PLTPU:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 _FLOOR = 1e-16  # sqrt floor, matches ops/chamfer._gathered_sum
 _LOW_MASK = 0x7FF  # 11 packed index bits (ops/knn v3 scheme)
 
@@ -289,6 +303,7 @@ def _fwd_sweep_call(freq, xt_pad, xbig, yc_pad, ysqb, params_t,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
         cost_estimate=None if interpret else pl.CostEstimate(
             flops=2 * n_pad * m_pad * 7,
             bytes_accessed=(n_pad * 8 + m_pad * 8) * 4,
@@ -452,6 +467,7 @@ def _bwd_adam_call(freq, step, done, xt_pad, g_t, params_t, m_t, v_t,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(freq, step, done, gate, xt_pad, g_t, g_nr, *params_t, *m_t, *v_t)
     n = len(params_t)
     return list(outs[:n]), list(outs[n:2 * n]), list(outs[2 * n:])
@@ -817,6 +833,7 @@ def _ldmk_iter_call(freq, loss_prev, counter, applied, count, xt_pad,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(freq, loss_prev, counter, applied, count, xt_pad, tgt_pad, mask,
       *params_t, *m_t, *v_t)
     n = len(params_t)

@@ -19,9 +19,23 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "=== $name exit=$? $(date -u +%H:%M:%SZ) ===" | tee -a "$OUT/batch.log"
 }
 
+run bench_default2   2400 env BENCH_FUSED_ITER=1 python bench.py
 run bench_packed     2400 env BENCH_FUSED_ITER=1 DP_SWEEP_PACKED=1 python bench.py
 run bench_mxu        2400 env BENCH_FUSED_ITER=1 DP_SWEEP_MXU=1 python bench.py
 run bench_mxu_packed 2400 env BENCH_FUSED_ITER=1 DP_SWEEP_MXU=1 DP_SWEEP_PACKED=1 python bench.py
+
+# re-runs after the scoped-VMEM limit fix (all four earlier failures were
+# Mosaic kernel-stack OOM at the default 16 MB cap; _compiler_params now
+# raises it to 64 MB)
+run ab_fused_sweep2  1800 python scripts/ab_fused_sweep.py 2000 400
+run ab_nsfp_iter2    1800 python scripts/ab_nsfp_iteration.py 2000 400
+run ablate_b1_2      2400 python scripts/ablate_iteration.py 1 400
+
+# /verify surface 1 at HEAD: demo with the new auto-on-TPU fused default
+run demo_head        1800 python -m deformationpyramid_tpu.cli.shape_transfer \
+    -s /root/reference/sim3_demo/AlienSoldier.ply \
+    -t /root/reference/sim3_demo/Ortiz.ply \
+    -o "$OUT/warped_head.ply" --samples 3000
 
 # suite writes to snapshot/pyramid_level/vis/ (config folder/exp_dir);
 # stash each rep's log so the three timings stay distinguishable
