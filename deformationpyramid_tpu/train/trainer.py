@@ -15,6 +15,7 @@ NeCo forward/backward); data pyramids stream from the host collate.
 from __future__ import annotations
 
 import dataclasses
+import sys
 from typing import Any, Callable, Iterable
 
 import numpy as np
@@ -241,6 +242,10 @@ def train_matcher(matcher_params: dict, lcfg: LandmarkConfig,
     opt_state = opt.init(matcher_params)
     steps: dict[tuple[int, int], Any] = {}
 
+    log_fn(f"training matcher: {cfg.max_epoch} epochs x {steps_per_epoch} "
+           "steps (the first step per shape bucket compiles the full "
+           "fwd+bwd matcher - up to ~45 min cold via the remote tunnel)")
+    sys.stdout.flush()
     os.makedirs(cfg.snapshot_dir, exist_ok=True)
     history_path = f"{cfg.snapshot_dir}/history.jsonl"
     best = np.inf
