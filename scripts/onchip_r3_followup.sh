@@ -44,4 +44,8 @@ for rep in 1 2 3; do
       --config config/NDP.yaml --splits 4DMatch-F --stream
   cp snapshot/pyramid_level/vis/4DMatch-F.log "$OUT/suite_rep$rep.split.log" 2>/dev/null
 done
+# one dual-split rep: the low-overlap fabricated 4DLoMatch-F too
+run suite_lo 3600 python -m deformationpyramid_tpu.cli.eval_nolearned \
+    --config config/NDP.yaml --splits 4DLoMatch-F --stream
+cp snapshot/pyramid_level/vis/4DLoMatch-F.log "$OUT/suite_lo.split.log" 2>/dev/null
 echo "=== followup done ($(date -u +%H:%M:%SZ)) ===" | tee -a "$OUT/batch.log"
