@@ -56,6 +56,21 @@ def _fused_iter_default(cfg: AttrDict) -> bool | None:
         return None
 
 
+def _fused_iter_explicit(cfg: AttrDict) -> bool | None:
+    """YAML key > DP_FUSED_ITER env, NO TPU auto-on. For solvers where
+    the on-chip A/B showed the fused iteration LOSES inside a compiled
+    loop (NSFP: 0.1652 fused vs 0.1494 unfused ms/iter,
+    scripts/ab_nsfp_iteration.py 2026-08-18 — a plain MLP chain XLA
+    already fuses well, unlike the NDP level iteration where the fused
+    two-kernel path wins +17% at bench level)."""
+    if "use_fused_iteration" in cfg:
+        return bool(cfg["use_fused_iteration"])
+    env = os.environ.get("DP_FUSED_ITER")
+    if env is not None:
+        return bool(int(env))
+    return None
+
+
 def solver_from_config(cfg: AttrDict):
     """Map a reference-format YAML config onto a solver + batched runner."""
     model = cfg.get("deformation_model", "NDP")
@@ -82,7 +97,7 @@ def solver_from_config(cfg: AttrDict):
             max_break_count=cfg.get("max_break_count", 70),
             break_threshold_ratio=cfg.get("break_threshold_ratio", 0.001),
             samples=cfg.get("samples", 2000),
-            use_fused_iteration=_fused_iter_default(cfg))
+            use_fused_iteration=_fused_iter_explicit(cfg))
         fn = jax.jit(jax.vmap(
             lambda k, s, t, sv, tv: register_nsfp(k, s, t, scfg, sv, tv)))
         return scfg, fn, "full"

@@ -564,10 +564,29 @@ def supports_fused_iteration_ldmk(pcfg, w_reg: float, n_ldmk: int,
 # mxu computes the [tm, N] cross term as one bf16x3 matmul instead of
 # ~7 VPU broadcast passes; packed uses the ops/knn v3 one-integer-min
 # selection (auto-gated to n_pad/m_pad <= 2048 — 11 index bits).
-# Default OFF until the on-chip A/B lands (DP_SWEEP_MXU=1 /
-# DP_SWEEP_PACKED=1 enable).
+# On-chip bench A/B (2026-08-18, median-of-3 through the full fused
+# iteration, docs/PERFORMANCE.md round-3 session 3): packed 8.56 pairs/s
+# vs 7.60 baseline (+13%, spread 0.006) => default ON; mxu 7.63 alone
+# and 7.44 combined with packed (the bf16x3 matmul adds an MXU hop the
+# VPU-bound sweep never pays back) => default OFF. Env overrides:
+# DP_SWEEP_PACKED=0 disables, DP_SWEEP_MXU=1 enables.
 _SWEEP_MXU_DIST = os.environ.get("DP_SWEEP_MXU", "0") == "1"
-_SWEEP_PACKED = os.environ.get("DP_SWEEP_PACKED", "0") == "1"
+_SWEEP_PACKED = os.environ.get("DP_SWEEP_PACKED", "1") == "1"
+# DP_SWEEP_TM=<int>: override the y-tile height. Bench A/B (2026-08-18):
+# packed tm=1024 8.74 pairs/s vs tm=512's 8.56 (identical lockstep
+# trajectory — pure kernel speed), so the default tile is 1024 under a
+# 2^21-element working-set budget (~8 MB f32 distance block + packed
+# temporaries at n_pad=2048; the 64 MB scoped-VMEM limit has headroom).
+_SWEEP_TM_ENV = int(os.environ.get("DP_SWEEP_TM", "0"))
+
+
+def _tm_cap(tm: int, n_pad: int, m: int) -> int:
+    """Clamp the y-tile height to the VMEM working-set budget (see the
+    comment at the run_fused_level call site) and the target row count."""
+    if _SWEEP_TM_ENV:
+        tm = _SWEEP_TM_ENV
+    tm = min(tm, max(8, ((1 << 21) // n_pad) // 8 * 8))
+    return min(tm, _round_up(max(m, 8), 8))
 
 
 def _bce_zeros_row(nr: Array, valid: Array) -> Array:
@@ -582,7 +601,7 @@ def _bce_zeros_row(nr: Array, valid: Array) -> Array:
 def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
                     t_sample: Array, t_valid: Array, level: Array,
                     pcfg, lcfg, trunc: float = 1e9,
-                    tm: int = 512, tn: int = 1024,
+                    tm: int = 1024, tn: int = 1024,
                     interpret: bool | None = None,
                     mxu_dist: bool | None = None,
                     packed: bool | None = None,
@@ -615,8 +634,7 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
     # ~4 MB f32 per live block). Larger clouds (e.g. the 6000-sample
     # shape-transfer demo) step tm down instead of overflowing scoped
     # VMEM.
-    tm = min(tm, max(8, ((1 << 20) // n_pad) // 8 * 8))
-    tm = min(tm, _round_up(max(m, 8), 8))
+    tm = _tm_cap(tm, n_pad, m)
     m_pad = _round_up(max(m, tm), tm)
     if mxu_dist is None:
         mxu_dist = _SWEEP_MXU_DIST
@@ -936,7 +954,7 @@ def nsfp_t_to_params(t: list[Array]) -> list[dict]:
 
 def run_fused_nsfp(params: list[dict], s_sample: Array, s_valid: Array,
                    t_sample: Array, t_valid: Array, lcfg,
-                   tm: int = 512, tn: int = 1024,
+                   tm: int = 1024, tn: int = 1024,
                    interpret: bool | None = None):
     """Adam-optimize the NSFP flow field with the two-kernel iteration.
 
@@ -950,8 +968,7 @@ def run_fused_nsfp(params: list[dict], s_sample: Array, s_valid: Array,
     n = s_sample.shape[0]
     m = t_sample.shape[0]
     n_pad = _round_up(max(n, 128), 128)
-    tm = min(tm, max(8, ((1 << 20) // n_pad) // 8 * 8))
-    tm = min(tm, _round_up(max(m, 8), 8))
+    tm = _tm_cap(tm, n_pad, m)
     m_pad = _round_up(max(m, tm), tm)
     mxu_dist = _SWEEP_MXU_DIST
     packed = _SWEEP_PACKED and n_pad <= 2048 and m_pad <= 2048

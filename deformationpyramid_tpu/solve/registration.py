@@ -24,6 +24,7 @@ but before stepping — ``registration.py:241-249``).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -76,6 +77,14 @@ class SolverConfig:
     # dual sweep in one Pallas launch, O(N) XLA glue, vjp bwd + Adam in a
     # second launch. Chamfer-mode SE3+axis_angle only; None/False = off.
     use_fused_iteration: bool | None = None
+    # ONE-kernel pure-landmark iteration (w_cd == 0). Measured SLOWER than
+    # the unfused compiled loop on-chip (0.0791 vs 0.0658 ms/iter at 256
+    # rows, scripts/ab_ldmk_iteration.py — inside one while_loop there are
+    # no dispatches to save and XLA fuses the tiny chain as well as the
+    # hand kernel without its per-launch params+moments VMEM round trip),
+    # so it needs this explicit opt-in on top of use_fused_iteration
+    # (None = DP_FUSED_LDMK env, default off).
+    use_fused_ldmk: bool | None = None
 
 
 def _bce_zeros(p: Array, valid: Array | None = None) -> Array:
@@ -110,15 +119,23 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
                                    w_reg=cfg.w_reg)
         if supports_fused_iteration_ldmk(pcfg, cfg.w_reg, n_ldmk, cfg.w_cd):
             if cfg.w_cd == 0:
-                # w_cd == 0 => pts IS the landmark rows (register_pair)
-                return run_fused_level_ldmk(lvl_params, pts, ldmk_valid,
-                                            tgt_ldmk, lvl, pcfg, lcfg)
-            # landmark + chamfer: pts = [ldmk ; sample], chamfer truncated
-            return run_fused_level(lvl_params, pts, pts_valid, t_sample,
-                                   t_valid, lvl, pcfg, lcfg,
-                                   trunc=cfg.trunc_cd, n_ldmk=n_ldmk,
-                                   tgt_ldmk=tgt_ldmk, ldmk_valid=ldmk_valid,
-                                   w_cd=cfg.w_cd)
+                # w_cd == 0 => pts IS the landmark rows (register_pair).
+                # One-kernel path is opt-in (loses to the unfused compiled
+                # loop on-chip — see use_fused_ldmk); otherwise fall
+                # through to the unfused loop below.
+                fused_ldmk = cfg.use_fused_ldmk
+                if fused_ldmk is None:
+                    fused_ldmk = os.environ.get("DP_FUSED_LDMK") == "1"
+                if fused_ldmk:
+                    return run_fused_level_ldmk(lvl_params, pts, ldmk_valid,
+                                                tgt_ldmk, lvl, pcfg, lcfg)
+            else:
+                # landmark + chamfer: pts = [ldmk ; sample], trunc chamfer
+                return run_fused_level(lvl_params, pts, pts_valid, t_sample,
+                                       t_valid, lvl, pcfg, lcfg,
+                                       trunc=cfg.trunc_cd, n_ldmk=n_ldmk,
+                                       tgt_ldmk=tgt_ldmk,
+                                       ldmk_valid=ldmk_valid, w_cd=cfg.w_cd)
     # Fused level-warp kernels are opt-in: the A/B on the tunneled v5e chip
     # measured 0.397 (fused) vs 0.377 (unfused) ms/iteration at B=4 — the
     # kernel boundaries trade ~1:1 against XLA's own fusion here because

@@ -1,0 +1,33 @@
+"""Regenerate every fabricated data split under data/split/ (gitignored).
+
+The canonical generation parameters live HERE so a wiped workspace can
+rebuild byte-identical suites (numpy Generator streams are stable for a
+fixed seed). Splits:
+
+* 4DMatch-F    — 100 pairs, reference-like clustered sizes 1.5k-28k,
+                 partial overlap 0.85 (the benchmark-shaped workload;
+                 reference ``eval_nolearned.py:59`` split naming).
+* 4DLoMatch-F  — 100 pairs, partial overlap 0.40 (the low-overlap
+                 companion split, 4DLoMatch's <45% overlap regime).
+* train / val  — 32 / 8 pairs at a single 6k size cluster (one compile
+                 bucket) for the docs/LEARNING.md matcher+NeCo pipeline.
+
+Usage: python scripts/make_suites.py [root=data/split]
+"""
+import sys
+
+from deformationpyramid_tpu.data.synthetic import write_4dmatch_suite
+
+
+def main(root: str = "data/split") -> None:
+    n = len(write_4dmatch_suite(root, "4DMatch-F"))
+    n += len(write_4dmatch_suite(root, "4DLoMatch-F", partial=0.40, seed=1))
+    n += len(write_4dmatch_suite(root, "train", n_pairs=32,
+                                 size_clusters=(6000,), seed=7))
+    n += len(write_4dmatch_suite(root, "val", n_pairs=8,
+                                 size_clusters=(6000,), seed=71))
+    print(f"wrote {n} pairs under {root}/")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -598,7 +598,8 @@ def test_register_pair_ldmk_fused_iteration_equivalence(w_cd):
                 samples=256, w_cd=w_cd, trunc_cd=0.25)
     outs = []
     for fi in (False, True):
-        cfg = SolverConfig(**base, use_fused_iteration=fi)
+        cfg = SolverConfig(**base, use_fused_iteration=fi,
+                           use_fused_ldmk=fi)
         w, st = jax.jit(lambda k, s, t, ls, lt, v: register_pair(
             k, s, t, cfg, src_ldmk=ls, tgt_ldmk=lt, ldmk_valid=v))(
             jax.random.key(0), jnp.array(src), jnp.array(tgt),
