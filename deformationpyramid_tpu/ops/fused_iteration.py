@@ -572,20 +572,27 @@ def supports_fused_iteration_ldmk(pcfg, w_reg: float, n_ldmk: int,
 # DP_SWEEP_PACKED=0 disables, DP_SWEEP_MXU=1 enables.
 _SWEEP_MXU_DIST = os.environ.get("DP_SWEEP_MXU", "0") == "1"
 _SWEEP_PACKED = os.environ.get("DP_SWEEP_PACKED", "1") == "1"
-# DP_SWEEP_TM=<int>: override the y-tile height. Bench A/B (2026-08-18):
-# packed tm=1024 8.74 pairs/s vs tm=512's 8.56 (identical lockstep
-# trajectory — pure kernel speed), so the default tile is 1024 under a
-# 2^21-element working-set budget (~8 MB f32 distance block + packed
-# temporaries at n_pad=2048; the 64 MB scoped-VMEM limit has headroom).
+# DP_SWEEP_TM=<int>: override the y-tile height. Bench A/Bs: packed
+# tm=1024 8.74 pairs/s vs tm=512's 8.56 (2026-08-18), tm=2048 8.94 vs
+# tm=1024's 8.72 (2026-08-19, identical lockstep trajectories — pure
+# kernel speed), so the default budget is 2^22 working-set elements
+# (16 MB f32 distance block + 16 MB packed int32 at n_pad=2048 —
+# comfortably inside the 64 MB scoped-VMEM cap _compiler_params sets;
+# Mosaic rejects true overflows at compile time).
 _SWEEP_TM_ENV = int(os.environ.get("DP_SWEEP_TM", "0"))
 
 
 def _tm_cap(tm: int, n_pad: int, m: int) -> int:
     """Clamp the y-tile height to the VMEM working-set budget (see the
-    comment at the run_fused_level call site) and the target row count."""
+    comment at the run_fused_level call site) and the target row count.
+
+    A DP_SWEEP_TM env override is trusted past the working-set budget
+    (only clamped to the row count) so oversized tiles can be A/B'd;
+    Mosaic's 64 MB scoped-VMEM check still rejects true overflows at
+    compile time rather than silently mis-executing."""
     if _SWEEP_TM_ENV:
-        tm = _SWEEP_TM_ENV
-    tm = min(tm, max(8, ((1 << 21) // n_pad) // 8 * 8))
+        return min(_SWEEP_TM_ENV, _round_up(max(m, 8), 8))
+    tm = min(tm, max(8, ((1 << 22) // n_pad) // 8 * 8))
     return min(tm, _round_up(max(m, 8), 8))
 
 
@@ -601,7 +608,7 @@ def _bce_zeros_row(nr: Array, valid: Array) -> Array:
 def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
                     t_sample: Array, t_valid: Array, level: Array,
                     pcfg, lcfg, trunc: float = 1e9,
-                    tm: int = 1024, tn: int = 1024,
+                    tm: int = 2048, tn: int = 1024,
                     interpret: bool | None = None,
                     mxu_dist: bool | None = None,
                     packed: bool | None = None,
@@ -630,10 +637,10 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
     n_pad = _round_up(max(n, 128), 128)
     # VMEM: the [tm, n_pad] distance block (+ its iota/packing
     # temporaries) dominates kernel 1; cap tm so tm * n_pad stays at the
-    # bench-validated 2^20-element working set (tm=512 @ n_pad=2048,
-    # ~4 MB f32 per live block). Larger clouds (e.g. the 6000-sample
-    # shape-transfer demo) step tm down instead of overflowing scoped
-    # VMEM.
+    # bench-validated 2^22-element working set (tm=2048 @ n_pad=2048,
+    # 16 MB f32 per live block — bench 8.94 vs tm=1024's 8.72 pairs/s,
+    # 2026-08-19). Larger clouds (e.g. the 6000-sample shape-transfer
+    # demo) step tm down instead of overflowing scoped VMEM.
     tm = _tm_cap(tm, n_pad, m)
     m_pad = _round_up(max(m, tm), tm)
     if mxu_dist is None:
