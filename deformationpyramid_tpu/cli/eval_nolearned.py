@@ -380,6 +380,8 @@ def main():
         done_fw = open(done_path, "a")
         ledger_fw = open(ledger_path, "a")
 
+        stamps: list[float] = []   # harvest completion times -> per-pair summary
+
         def harvest(batch, out):
             """Sync one dispatched batch and fold its pairs into the meters."""
             nonlocal n_done
@@ -439,6 +441,7 @@ def main():
                 ledger_fw.flush()
                 done_fw.write(name + "\n")
                 done_fw.flush()
+            stamps.append(time.perf_counter())
 
         def dispatch(batch):
             nonlocal key
@@ -497,8 +500,10 @@ def main():
             ledger_fw.flush()
             done_fw.write(name + "\n")
             done_fw.flush()
+            stamps.append(time.perf_counter())
 
         t_split = time.perf_counter()
+        stamps.append(t_split)
         if use_fast:
             # Fixed-shape fast path: one compiled solver program for every
             # pair + a cheap bucketed warp/metrics program chained on-device,
@@ -606,6 +611,11 @@ def main():
         if n_done:
             print(f"[{split}] {n_done} pairs in {dt:.1f}s "
                   f"= {n_done / dt:.2f} pairs/s")
+            from ..utils.reporting import split_summary
+
+            summary = split_summary("ndp_suite", split, stamps, n_done, dt)
+            print(summary)
+            logger.write(summary + "\n")
 
         msg = f"{n_done}/{n_total}: " + "\t".join(
             f"{k}: {v.avg:.3f}" for k, v in meters.items())

@@ -98,6 +98,7 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
         logger = Logger(os.path.join(log_dir, split + ".log"))
         meters: dict[str, AverageMeter] = {}
         n_done = 0
+        stamps: list[float] = []   # harvest times -> per-pair summary
 
         # lossless eval-sweep resume, same .done + .pairs.jsonl ledger
         # protocol as eval_nolearned (reference equivalent: per-split
@@ -249,6 +250,7 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             ledger_fw.flush()
             done_fw.write(pair.name + "\n")
             done_fw.flush()
+            stamps.append(time.perf_counter())
 
         # pipelined sweep: collate runs one pair ahead in a worker thread,
         # matcher+solver dispatches run ``stream_depth`` pairs ahead of the
@@ -258,6 +260,7 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
         fut = pool.submit(collate_one, 0) if len(ds) else None
         pending: list = []
         t_split = time.perf_counter()
+        stamps.append(t_split)
         for i in range(len(ds)):
             timers.tic("collate")
             pair, pyr = fut.result()
@@ -275,6 +278,12 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
         if len(ds):
             print(f"[{split}] {len(ds)} pairs in {dt:.1f}s "
                   f"= {len(ds) / dt:.2f} pairs/s")
+            from ..utils.reporting import split_summary
+
+            summary = split_summary("lndp_suite", split, stamps,
+                                    len(ds), dt)
+            print(summary)
+            logger.write(summary + "\n")
         pool.shutdown(wait=False)
         msg = f"{n_done}/{n_total} pairs: " + "\t".join(
             f"{k}: {v.avg:.3f}" for k, v in meters.items())
@@ -312,7 +321,10 @@ def main():
 
         lcfg = landmark_config_from_yaml(
             ldmk_yaml, inlier_thr=cfg.get("inlier_thr", 0.3),
-            reject_outliers=cfg.get("reject_outliers", True))
+            reject_outliers=cfg.get("reject_outliers", True),
+            # default None = uncapped extraction (capacity follows the
+            # coarse bucket); yaml `max_matches: 256` restores the cap
+            max_matches=cfg.get("max_matches"))
     else:
         lcfg = LandmarkConfig(inlier_thr=cfg.get("inlier_thr", 0.3),
                               reject_outliers=cfg.get("reject_outliers", True))

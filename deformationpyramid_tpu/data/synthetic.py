@@ -51,7 +51,8 @@ def write_4dmatch_suite(root: str, split: str, n_pairs: int = 100,
                         size_clusters: tuple[int, ...] = (1500, 3000, 8000,
                                                           15000, 28000),
                         seed: int = 0, partial: float = 0.85,
-                        deform: float = 0.12) -> list[str]:
+                        deform: float = 0.12,
+                        occlusion: str = "uniform") -> list[str]:
     """Fabricate a 4DMatch-format npz suite at realistic point counts.
 
     Emits the exact reference field layout (``_4dmatch.py:60-73``): rot /
@@ -59,7 +60,21 @@ def write_4dmatch_suite(root: str, split: str, n_pairs: int = 100,
     GT convention R (Ps + flow) + t = Pt. Point counts are drawn from
     ``size_clusters`` (+-8% jitter) so the BucketBatcher sees a handful of
     compiled shapes, mirroring 4DMatch's clustered cloud sizes. The target
-    keeps a random ``partial`` fraction of points (partial overlap).
+    keeps a ``partial`` fraction of points.
+
+    ``occlusion`` picks HOW the dropped target points are chosen:
+
+    * ``uniform`` — i.i.d. random dropout. Preserves full surface
+      coverage, so truncated chamfer still sees every region: a *sparsity*
+      regime, not an occlusion regime.
+    * ``coherent`` — spatially-coherent culls, the synthetic stand-in for
+      real 4DLoMatch visibility occlusion (reference ``README.md:21``;
+      occluded-split metrics ``model/loss.py:431-471``): even pairs drop a
+      half-space (random plane direction, quantile cut at ``partial``),
+      odd pairs drop a contiguous ball (the ``(1-partial)·n`` nearest
+      points to a random surface point). Source points whose correspondent
+      was culled have NO true chamfer attractor — the regime where
+      landmark-guided registration is supposed to win.
     """
     import os
 
@@ -77,7 +92,24 @@ def write_4dmatch_suite(root: str, split: str, n_pairs: int = 100,
         rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
         trans = rng.uniform(-0.1, 0.1, (3, 1)).astype(np.float32)
         tgt = (rot @ (src + flow).T + trans).T.astype(np.float32)
-        keep_t = rng.permutation(n)[: int(n * partial)]
+        n_keep = int(n * partial)
+        if occlusion == "uniform":
+            keep_t = rng.permutation(n)[:n_keep]
+        elif occlusion == "coherent":
+            if i % 2 == 0:
+                # half-space cull: keep the n_keep points lowest along a
+                # random direction
+                d = rng.normal(size=3)
+                d /= np.linalg.norm(d)
+                keep_t = np.argsort(tgt @ d)[:n_keep]
+            else:
+                # contiguous-patch cull: drop the (n-n_keep) points nearest
+                # a random surface point
+                center = tgt[rng.integers(n)]
+                d2 = np.sum((tgt - center) ** 2, axis=1)
+                keep_t = np.argsort(d2)[n - n_keep:]
+        else:
+            raise ValueError(f"unknown occlusion mode {occlusion!r}")
         corr = np.stack([keep_t, np.arange(len(keep_t))], 1)
         path = os.path.join(out_dir, f"pair{i:04d}.npz")
         np.savez(path, rot=rot, trans=trans, s2t_flow=flow, s_pc=src,

@@ -59,6 +59,10 @@ class BlockPlan:
     radius: float
     in_dim: int
     out_dim: int
+    # 'deformable' in the block name (reference block_decider checks
+    # 'deform' in block_name, blocks.py:566,629); the collate computes the
+    # neighbor table at deform_radius for these blocks (dataloader.py:458-483)
+    deform: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,11 +94,14 @@ def kpfcn_plan(cfg: KPConvConfig,
         if "upsample" in block:
             break
         strided = "strided" in block
+        deform = "deformable" in block
         if block.startswith("simple"):
-            encoder.append(BlockPlan("simple", layer, strided, r, in_dim, out_dim))
+            encoder.append(BlockPlan("simple", layer, strided, r, in_dim,
+                                     out_dim, deform))
             in_dim = out_dim // 2
         elif block.startswith("resnetb"):
-            encoder.append(BlockPlan("resnetb", layer, strided, r, in_dim, out_dim))
+            encoder.append(BlockPlan("resnetb", layer, strided, r, in_dim,
+                                     out_dim, deform))
             in_dim = out_dim
         else:
             raise ValueError(block)
@@ -138,10 +145,10 @@ def init_kpfcn(key: Array, cfg: KPConvConfig,
     for bp in plan.encoder:
         if bp.type == "simple":
             enc.append(init_simple_block(next(keys), bp.in_dim, bp.out_dim,
-                                         bp.radius, cfg))
+                                         bp.radius, cfg, deformable=bp.deform))
         else:
             enc.append(init_resnetb_block(next(keys), bp.in_dim, bp.out_dim,
-                                          bp.radius, cfg))
+                                          bp.radius, cfg, deformable=bp.deform))
     dec = []
     for bp in plan.decoder:
         if bp.type == "unary":

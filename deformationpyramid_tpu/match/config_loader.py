@@ -19,7 +19,8 @@ from .procrustes import ProcrustesConfig
 from .transformer import TransformerConfig
 
 
-def matcher_config_from_yaml(cfg: AttrDict, max_matches: int = 256) -> MatcherConfig:
+def matcher_config_from_yaml(cfg: AttrDict,
+                             max_matches: int | None = None) -> MatcherConfig:
     k = cfg.kpfcn_config
     kpfcn = KPConvConfig(
         num_kernel_points=k.get("num_kernel_points", 15),
@@ -27,6 +28,7 @@ def matcher_config_from_yaml(cfg: AttrDict, max_matches: int = 256) -> MatcherCo
         KP_extent=k.get("KP_extent", 2.0),
         conv_radius=k.get("conv_radius", 2.5),
         deform_radius=k.get("deform_radius", 5.0),
+        modulated=k.get("modulated", False),
         KP_influence=k.get("KP_influence", "linear"),
         aggregation_mode=k.get("aggregation_mode", "sum"),
         fixed_kernel_points=k.get("fixed_kernel_points", "center"),
@@ -101,7 +103,7 @@ def neco_config_from_yaml(cfg: AttrDict) -> NeCoConfig:
 def landmark_config_from_yaml(correspondence_yaml: str,
                               inlier_thr: float = 0.3,
                               reject_outliers: bool = True,
-                              max_matches: int = 256) -> LandmarkConfig:
+                              max_matches: int | None = None) -> LandmarkConfig:
     """Load the full landmark-model config tree from the correspondence yaml."""
     corr = load_config(correspondence_yaml)
     yaml_dir = os.path.dirname(os.path.abspath(correspondence_yaml))

@@ -27,7 +27,12 @@ class MatchingConfig:
     match_type: str = "dual_softmax"   # 'dual_softmax' | 'sinkhorn'
     skh_init_bin_score: float = 1.0
     skh_iters: int = 3
-    max_matches: int = 256             # static cap for extracted matches
+    # None (default) = uncapped: every mutual-max match above threshold is
+    # extracted, like the reference (matching.py:71-88) — the static
+    # capacity scales with the bucketed coarse cloud size. An int pins a
+    # fixed top-k capacity (the pre-round-4 behavior; froze matcher recall
+    # at k/|GT| on dense pairs).
+    max_matches: int | None = None
     compute_dtype: str = "float32"     # 'bfloat16' = MXU-speed inference
 
 
@@ -123,3 +128,28 @@ def extract_matches(conf: Array, thr: float, k: int,
     idx = jnp.stack([flat_idx // t, flat_idx % t], axis=-1)
     idx = jnp.where(valid[:, None], idx, 0)
     return idx, jnp.where(valid, top_scores, 0.0), valid
+
+
+def extract_matches_all(conf: Array, thr: float) -> tuple[Array, Array, Array]:
+    """ALL mutual-max matches above threshold (``matching.py:71-88``).
+
+    A mutual-max match needs ``conf[s, t]`` to be both its row and column
+    maximum, so each src row yields at most one match: capacity [S] with a
+    validity mask is exact, no top-k sort over the flat [S*T] scores
+    needed. Rows are emitted in src order (the reference emits nonzero()
+    order; downstream consumers — NeCo, landmark loss, procrustes — are
+    order-insensitive). Exact-tie rows (several entries equal to the row
+    max, measure-zero in float) keep one match where the reference keeps
+    all; padded rows/cols are all-zero and fail ``thr``.
+
+    Returns (idx [S, 2] (src, tgt), conf [S], valid [S]).
+    """
+    s = conf.shape[0]
+    t_idx = jnp.argmax(conf, axis=1)                               # [S]
+    c = jnp.take_along_axis(conf, t_idx[:, None], axis=1)[:, 0]    # [S]
+    s_back = jnp.argmax(conf, axis=0)                              # [T]
+    mutual = s_back[t_idx] == jnp.arange(s)
+    valid = (c > thr) & mutual
+    idx = jnp.stack([jnp.arange(s), t_idx], axis=-1)
+    idx = jnp.where(valid[:, None], idx, 0)
+    return idx, jnp.where(valid, c, 0.0), valid

@@ -15,7 +15,10 @@ import jax.numpy as jnp
 
 from .backbone import KPFCN_ARCHITECTURE, apply_kpfcn_coarse, init_kpfcn
 from .kpconv import KPConvConfig
-from .matching import MatchingConfig, confidence_matrix, extract_matches, init_matching
+from .matching import (
+    MatchingConfig, confidence_matrix, extract_matches, extract_matches_all,
+    init_matching,
+)
 from .procrustes import ProcrustesConfig, soft_procrustes
 from .transformer import TransformerConfig, apply_transformer, init_transformer
 
@@ -29,7 +32,10 @@ class MatcherConfig:
     matching: MatchingConfig = dataclasses.field(default_factory=MatchingConfig)
     procrustes: ProcrustesConfig = dataclasses.field(default_factory=ProcrustesConfig)
     coarse_level: int = 2          # positive index of the coarse level
-    max_matches: int = 256         # static cap on extracted coarse matches
+    # None (default) = uncapped: capacity scales with the bucketed coarse
+    # cloud size (all mutual-max matches above thr, reference
+    # matching.py:71-88); an int pins a fixed top-k capacity
+    max_matches: int | None = None
 
 
 def init_matcher(key: Array, cfg: MatcherConfig) -> dict:
@@ -92,8 +98,13 @@ def apply_matcher(params: dict, pyramid: dict, src_len_coarse: Array,
     conf = confidence_matrix(params["matching"], src_feats, tgt_feats,
                              src_pe, tgt_pe, src_mask, tgt_mask,
                              cfg.matching, cfg.transformer.pe_type)
-    match_idx, match_conf, match_valid = extract_matches(
-        conf, cfg.matching.confidence_threshold, cfg.max_matches)
+    if cfg.max_matches:
+        match_idx, match_conf, match_valid = extract_matches(
+            conf, cfg.matching.confidence_threshold, cfg.max_matches)
+    else:
+        # uncapped: one potential match per src row, reference semantics
+        match_idx, match_conf, match_valid = extract_matches_all(
+            conf, cfg.matching.confidence_threshold)
 
     R, t, _, _, condition, ok = soft_procrustes(
         conf, s_pcd, t_pcd, src_mask, tgt_mask, cfg.procrustes)

@@ -94,6 +94,13 @@ def port_matcher(sd: dict[str, np.ndarray], params: dict,
         _set(blk, ["kpconv", "weights"], pt.take(f"{pfx}.KPConv.weights"))
         _set(blk, ["kpconv", "kernel_points"],
              pt.take(f"{pfx}.KPConv.kernel_points"))
+        if "offset_conv" in blk["kpconv"]:  # deformable KPConv
+            _set(blk, ["kpconv", "offset_conv", "weights"],
+                 pt.take(f"{pfx}.KPConv.offset_conv.weights"))
+            _set(blk, ["kpconv", "offset_conv", "kernel_points"],
+                 pt.take(f"{pfx}.KPConv.offset_conv.kernel_points"))
+            _set(blk, ["kpconv", "offset_bias"],
+                 pt.take(f"{pfx}.KPConv.offset_bias"))
         for ours, theirs in (("unary1", "unary1"), ("unary2", "unary2"),
                              ("shortcut", "unary_shortcut")):
             if ours in blk:

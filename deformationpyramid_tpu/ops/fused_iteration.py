@@ -582,17 +582,24 @@ _SWEEP_PACKED = os.environ.get("DP_SWEEP_PACKED", "1") == "1"
 _SWEEP_TM_ENV = int(os.environ.get("DP_SWEEP_TM", "0"))
 
 
-def _tm_cap(tm: int, n_pad: int, m: int) -> int:
+def _tm_cap(tm: int, n_pad: int, m: int, budget: int = 1 << 22) -> int:
     """Clamp the y-tile height to the VMEM working-set budget (see the
     comment at the run_fused_level call site) and the target row count.
 
     A DP_SWEEP_TM env override is trusted past the working-set budget
-    (only clamped to the row count) so oversized tiles can be A/B'd;
-    Mosaic's 64 MB scoped-VMEM check still rejects true overflows at
-    compile time rather than silently mis-executing."""
+    (only rounded down to the sublane multiple and clamped to the row
+    count) so oversized tiles can be A/B'd; Mosaic's 64 MB scoped-VMEM
+    check still rejects true overflows at compile time rather than
+    silently mis-executing."""
     if _SWEEP_TM_ENV:
-        return min(_SWEEP_TM_ENV, _round_up(max(m, 8), 8))
-    tm = min(tm, max(8, ((1 << 22) // n_pad) // 8 * 8))
+        return min(max(_SWEEP_TM_ENV // 8 * 8, 8), _round_up(max(m, 8), 8))
+    tm = min(tm, max(8, (budget // n_pad) // 8 * 8))
+    # Non-pow2 m > tm: m_pad = round_up(m, tm), so a large tile can pad
+    # far past m (e.g. m=3000 @ tm=2048 -> m_pad=4096, +33% sweep rows).
+    # Step tm down by halves while that strictly shrinks the padded row
+    # count — ties keep the larger tile (fewer grid steps).
+    while tm > 8 and m > tm and _round_up(m, tm // 2) < _round_up(m, tm):
+        tm //= 2
     return min(tm, _round_up(max(m, 8), 8))
 
 
@@ -975,7 +982,11 @@ def run_fused_nsfp(params: list[dict], s_sample: Array, s_valid: Array,
     n = s_sample.shape[0]
     m = t_sample.shape[0]
     n_pad = _round_up(max(n, 128), 128)
-    tm = _tm_cap(tm, n_pad, m)
+    # NSFP keeps the old 2^21-element working-set budget: its 9-layer
+    # MLP carries far more per-grid-step VMEM than the NDP level net and
+    # was the path that previously hit the scoped-VMEM ceiling (see
+    # _compiler_params); the 2^22 bench A/B covered only NDP + Sim3.
+    tm = _tm_cap(tm, n_pad, m, budget=1 << 21)
     m_pad = _round_up(max(m, tm), tm)
     mxu_dist = _SWEEP_MXU_DIST
     packed = _SWEEP_PACKED and n_pad <= 2048 and m_pad <= 2048

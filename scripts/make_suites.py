@@ -8,9 +8,18 @@ fixed seed). Splits:
                  partial overlap 0.85 (the benchmark-shaped workload;
                  reference ``eval_nolearned.py:59`` split naming).
 * 4DLoMatch-F  — 100 pairs, partial overlap 0.40 (the low-overlap
-                 companion split, 4DLoMatch's <45% overlap regime).
+                 companion split, 4DLoMatch's <45% overlap regime;
+                 UNIFORM dropout — a sparsity regime, kept for r2/r3
+                 comparability).
+* 4DLoMatch-Occ — 100 pairs, partial 0.40 with SPATIALLY-COHERENT culls
+                 (half-space / contiguous patch, data/synthetic.py): the
+                 true occlusion regime where landmark guidance must beat
+                 plain chamfer NDP (VERDICT r3 #1).
 * train / val  — 32 / 8 pairs at a single 6k size cluster (one compile
                  bucket) for the docs/LEARNING.md matcher+NeCo pipeline.
+* train-occ / val-occ — same sizes, coherent occlusion at partial 0.55,
+                 so the matcher/NeCo can be fine-tuned for the occluded
+                 regime if plain weights don't transfer.
 
 Usage: python scripts/make_suites.py [root=data/split]
 """
@@ -22,10 +31,18 @@ from deformationpyramid_tpu.data.synthetic import write_4dmatch_suite
 def main(root: str = "data/split") -> None:
     n = len(write_4dmatch_suite(root, "4DMatch-F"))
     n += len(write_4dmatch_suite(root, "4DLoMatch-F", partial=0.40, seed=1))
+    n += len(write_4dmatch_suite(root, "4DLoMatch-Occ", partial=0.40, seed=2,
+                                 occlusion="coherent"))
     n += len(write_4dmatch_suite(root, "train", n_pairs=32,
                                  size_clusters=(6000,), seed=7))
     n += len(write_4dmatch_suite(root, "val", n_pairs=8,
                                  size_clusters=(6000,), seed=71))
+    n += len(write_4dmatch_suite(root, "train-occ", n_pairs=32,
+                                 size_clusters=(6000,), seed=8,
+                                 partial=0.55, occlusion="coherent"))
+    n += len(write_4dmatch_suite(root, "val-occ", n_pairs=8,
+                                 size_clusters=(6000,), seed=81,
+                                 partial=0.55, occlusion="coherent"))
     print(f"wrote {n} pairs under {root}/")
 
 

@@ -261,6 +261,53 @@ def test_write_4dmatch_suite_gt_convention(tmp_path):
         assert np.allclose(p.flow_gt, warped - raw["s_pc"], atol=1e-5)
 
 
+def test_write_4dmatch_suite_coherent_occlusion(tmp_path):
+    """occlusion='coherent' culls are spatially coherent, not sparse: the
+    occluded source points form a compact region (half-space / ball), and
+    the GT convention still holds on the surviving correspondences."""
+    from deformationpyramid_tpu.data.synthetic import write_4dmatch_suite
+
+    root = str(tmp_path / "occ")
+    partial = 0.4
+    paths = write_4dmatch_suite(root, "Occ", n_pairs=4,
+                                size_clusters=(1200,), seed=2,
+                                partial=partial, occlusion="coherent")
+    ds = FourDMatchDataset(root, "Occ")
+    for i in range(4):
+        raw = np.load(paths[i])
+        warped = (raw["rot"] @ (raw["s_pc"] + raw["s2t_flow"]).T
+                  + raw["trans"]).T
+        corr = raw["correspondences"]
+        assert np.allclose(warped[corr[:, 0]], raw["t_pc"][corr[:, 1]],
+                           atol=1e-5)
+        p = ds[i]
+        assert abs(p.overlap.mean() - partial) < 0.02
+        # coherence check: occluded points must be FAR from every kept
+        # target point relative to the cloud's NN spacing — i.e. whole
+        # regions are missing, not thinned (chamfer then has no true
+        # attractor there). Calibrated: coherent culls score ratio 11-21,
+        # uniform dropout ~1.6.
+        assert _occ_to_kept_ratio(p, warped) > 5.0
+    # and the uniform writer is a sparsity regime, not occlusion (control)
+    upaths = write_4dmatch_suite(root, "Uni", n_pairs=1,
+                                 size_clusters=(1200,), seed=2,
+                                 partial=partial, occlusion="uniform")
+    p = FourDMatchDataset(root, "Uni")[0]
+    raw = np.load(upaths[0])
+    warped = (raw["rot"] @ (raw["s_pc"] + raw["s2t_flow"]).T + raw["trans"]).T
+    assert _occ_to_kept_ratio(p, warped) < 3.0
+
+
+def _occ_to_kept_ratio(p, warped):
+    """median dist(occluded GT position -> nearest kept target point),
+    in units of the dense cloud's median NN spacing."""
+    from scipy.spatial import cKDTree
+
+    d_occ, _ = cKDTree(p.tgt).query(warped[~p.overlap])
+    d_nn, _ = cKDTree(warped).query(warped, k=2)
+    return np.median(d_occ) / np.median(d_nn[:, 1])
+
+
 def test_bucket_batcher_square_mode(tmp_path):
     from deformationpyramid_tpu.data.fourdmatch import BucketBatcher
 

@@ -57,7 +57,10 @@ def test_run_eval_supervised_loop(tmp_path):
     assert len(ledger.splitlines()) == 2
     run_eval(cfg, lcfg, params, scfg, ["4DMatch-F"],
              log_dir=str(tmp_path / "log"), resume=True)
-    lines = (tmp_path / "log" / "4DMatch-F.log").read_text().splitlines()
+    all_lines = (tmp_path / "log" / "4DMatch-F.log").read_text().splitlines()
+    # the sweep also logs one bench-style JSON summary line (utils/reporting)
+    assert any(l.startswith("{") and '"lndp_suite"' in l for l in all_lines)
+    lines = [l for l in all_lines if "full-epe" in l and not l.startswith("{")]
     assert len(lines) == 2
     assert lines[0].split("pairs:")[1] == lines[1].split("pairs:")[1]
     # no pairs were re-evaluated

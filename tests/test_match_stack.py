@@ -123,6 +123,52 @@ def test_extract_matches_mutual_max():
     assert got == {(0, 0), (2, 1)}
 
 
+def test_extract_matches_all_equals_reference_semantics():
+    """Uncapped extraction == brute-force 'all mutual-max above thr'
+    (reference matching.py:71-88), on random confs with padded rows."""
+    from deformationpyramid_tpu.match.matching import extract_matches_all
+
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        s, t = rng.integers(4, 40), rng.integers(4, 40)
+        conf = rng.uniform(size=(s, t)).astype(np.float32)
+        conf[s - 2:, :] = 0.0  # padded rows
+        conf[:, t - 1:] = 0.0
+        thr = 0.5
+        mask = (conf > thr) \
+            & (conf == conf.max(axis=1, keepdims=True)) \
+            & (conf == conf.max(axis=0, keepdims=True))
+        want = set(zip(*np.nonzero(mask)))
+        idx, score, valid = extract_matches_all(jnp.asarray(conf), thr)
+        got = {(int(i), int(j)) for (i, j), v in zip(np.asarray(idx),
+                                                     np.asarray(valid)) if v}
+        assert got == want, f"trial {trial}"
+        # scores of valid slots match the conf entries
+        for (i, j), sc, v in zip(np.asarray(idx), np.asarray(score),
+                                 np.asarray(valid)):
+            if v:
+                assert sc == conf[i, j]
+
+
+def test_uncapped_matcher_capacity_scales_with_bucket():
+    """max_matches=None: the match capacity follows the coarse cap, so
+    recall is no longer structurally frozen at k/|GT| (VERDICT r3 #2)."""
+    import dataclasses as _dc
+
+    cfg = small_matcher_cfg()
+    cfg = _dc.replace(cfg, max_matches=None)
+    src, tgt, flow, pyr, pyrd = make_pyramid(cfg)
+    params = init_matcher(jax.random.key(0), cfg)
+    data = apply_matcher(params, pyrd, jnp.int32(pyr.src_lengths[2]),
+                         jnp.int32(pyr.tgt_lengths[2]), cfg)
+    n_c = pyrd["points"][2].shape[0]
+    assert data["match_idx"].shape == (n_c, 2)
+    assert data["vec_6d"].shape == (n_c, 6)
+    # mutual-max: at most one valid match per src row, none in padding
+    mv = np.asarray(data["match_valid"])
+    assert mv[pyr.src_lengths[2]:].sum() == 0
+
+
 # ---------------- matcher pipeline ----------------
 
 def test_matcher_forward_shapes_and_finiteness():
