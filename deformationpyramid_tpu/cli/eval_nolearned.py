@@ -283,6 +283,9 @@ def main():
                          "solver program + bucketed warp/metrics; "
                          "NDP/NSFP/Nerfies) and use legacy per-bucket "
                          "solver programs")
+    ap.add_argument("--log-dir", default=None,
+                    help="override the snapshot directory (default "
+                         "snapshot/<folder>/<exp_dir> from the config)")
     ap.add_argument("--host-metrics", action="store_true",
                     help="fetch only the ~150 KB pyramid params per pair "
                          "and run the full-cloud warp + metrics on the "
@@ -312,8 +315,9 @@ def main():
 
     multi_host = initialize_distributed()
 
-    snap_dir = os.path.join("snapshot", str(cfg.get("folder", "eval")),
-                            str(cfg.get("exp_dir", "run")))
+    snap_dir = args.log_dir or os.path.join(
+        "snapshot", str(cfg.get("folder", "eval")),
+        str(cfg.get("exp_dir", "run")))
     os.makedirs(snap_dir, exist_ok=True)
     write_run_provenance(snap_dir, args.config)
 

@@ -312,22 +312,36 @@ def main():
     ap.add_argument("--log-dir", default="snapshot/lndp",
                     help="snapshot directory for logs/ledgers (keep "
                          "before/after weight comparisons separate)")
+    ap.add_argument("--max-matches", type=int, default=None,
+                    help="override the extraction capacity (0/unset = "
+                         "uncapped reference semantics; e.g. 256 restores "
+                         "the pre-round-4 fixed top-k cap for A/Bs)")
+    ap.add_argument("--reject-outliers", dest="reject_outliers",
+                    action="store_true", default=None,
+                    help="force NeCo outlier rejection ON (A/B knob)")
+    ap.add_argument("--no-reject-outliers", dest="reject_outliers",
+                    action="store_false",
+                    help="force NeCo outlier rejection OFF (A/B knob)")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
+    reject = (args.reject_outliers if args.reject_outliers is not None
+              else cfg.get("reject_outliers", True))
+    max_matches = (args.max_matches if args.max_matches is not None
+                   else cfg.get("max_matches")) or None
     ldmk_yaml = cfg.get("ldmk_config")
     if ldmk_yaml and os.path.exists(ldmk_yaml):
         from ..match.config_loader import landmark_config_from_yaml
 
         lcfg = landmark_config_from_yaml(
             ldmk_yaml, inlier_thr=cfg.get("inlier_thr", 0.3),
-            reject_outliers=cfg.get("reject_outliers", True),
+            reject_outliers=reject,
             # default None = uncapped extraction (capacity follows the
-            # coarse bucket); yaml `max_matches: 256` restores the cap
-            max_matches=cfg.get("max_matches"))
+            # coarse bucket); `max_matches: 256` restores the cap
+            max_matches=max_matches)
     else:
         lcfg = LandmarkConfig(inlier_thr=cfg.get("inlier_thr", 0.3),
-                              reject_outliers=cfg.get("reject_outliers", True))
+                              reject_outliers=reject)
     scfg = SolverConfig(
         pyramid=NDPConfig(m=cfg.get("m", 10), k0=cfg.get("k0", -8),
                           depth=cfg.get("depth", 3), width=cfg.get("width", 128),

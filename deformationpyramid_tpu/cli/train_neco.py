@@ -101,6 +101,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--data-root", default=None)
+    ap.add_argument("--split", default="train")
+    ap.add_argument("--val-split", default=None,
+                    help="validation split (default: 'val', or "
+                         "'val-<suffix>' when --split is 'train-<suffix>')")
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--matcher-weights", default=None)
     ap.add_argument("--limit", type=int, default=None)
@@ -121,11 +125,12 @@ def main():
         lcfg = landmark_config_from_yaml(ldmk_yaml)
     else:
         lcfg = LandmarkConfig()
-    ds = FourDMatchDataset(data_root, "train", augment=True)
+    ds = FourDMatchDataset(data_root, args.split, augment=True)
     if args.limit:
         ds.entries = ds.entries[:args.limit]
     if len(ds) == 0:
-        raise SystemExit(f"no training data under {data_root}/train")
+        raise SystemExit(f"no training data under {data_root}/{args.split}")
+    val_split = args.val_split or args.split.replace("train", "val", 1)
 
     params = init_landmark_model(jax.random.key(0), lcfg)
     if args.matcher_weights:
@@ -146,7 +151,7 @@ def main():
     # validation split for best-model selection (reference trainer.py:266-271)
     val_stream = None
     if cfg.get("do_valid", False):
-        vds = FourDMatchDataset(data_root, "val", augment=False)
+        vds = FourDMatchDataset(data_root, val_split, augment=False)
         if args.limit:
             vds.entries = vds.entries[:args.limit]
         if len(vds):
