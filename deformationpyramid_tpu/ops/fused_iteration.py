@@ -313,6 +313,89 @@ def _fwd_sweep_call(freq, xt_pad, xbig, yc_pad, ysqb, params_t,
 
 
 # ---------------------------------------------------------------------------
+# Warp-only kernel (temporal-coherence sweep reuse: cheap sub-iterations)
+# ---------------------------------------------------------------------------
+
+def _warp_only_kernel(freq_ref, gate_ref, xt_ref, *refs, mlp_scale: float,
+                      motion: str, rotation_format: str, nonrigid: bool,
+                      np_: int, model: str):
+    """Kernel 1 minus the sweep: just the level warp in [3, N] layout.
+
+    Used by the sweep-reuse schedule (``run_fused_level`` with
+    ``resweep_every >= 2``): cheap sub-iterations re-warp the points but
+    update the 1-NN association with a local KNN-graph walk in XLA
+    instead of the O(N·M) dual sweep."""
+    p_refs = refs[:np_]
+    if nonrigid:
+        warped_ref, nr_ref = refs[np_:]
+    else:
+        (warped_ref,) = refs[np_:]
+    out = _fwd_model_t(model, xt_ref[:], freq_ref[0, 0],
+                       [r[:] for r in p_refs], mlp_scale=mlp_scale,
+                       motion=motion, rotation_format=rotation_format,
+                       nonrigid=nonrigid,
+                       gate=gate_ref[0, 0] if nonrigid else None)
+    if nonrigid:
+        warped, nr = out
+        nr_ref[:] = nr
+    else:
+        warped = out
+    warped_ref[:] = warped
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mlp_scale", "interpret", "motion", "rotation_format", "nonrigid",
+    "model"))
+def _warp_only_call(freq, xt_pad, params_t, mlp_scale: float,
+                    interpret: bool, motion: str = "SE3",
+                    rotation_format: str = "axis_angle",
+                    nonrigid: bool = False, gate=None, model: str = "ndp"):
+    n_pad = xt_pad.shape[1]
+    np_ = len(params_t)
+    if gate is None:
+        gate = jnp.zeros((1, 1), jnp.float32)
+    kernel = functools.partial(_warp_only_kernel, mlp_scale=mlp_scale,
+                               motion=motion,
+                               rotation_format=rotation_format,
+                               nonrigid=nonrigid, np_=np_, model=model)
+    n_out = 2 if nonrigid else 1
+    if interpret:
+        in_specs = [pl.BlockSpec()] * (3 + np_)
+        out_specs = [pl.BlockSpec()] * n_out
+    else:
+        in_specs = ([pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)] * 2
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + np_))
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out
+    out_shape = [jax.ShapeDtypeStruct((3, n_pad), jnp.float32)]
+    if nonrigid:
+        out_shape.append(jax.ShapeDtypeStruct((1, n_pad), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(freq, gate, xt_pad, *params_t)
+    return (outs[0], outs[1]) if nonrigid else (outs[0], None)
+
+
+def _knn_table(pts: Array, big: Array, c: int) -> tuple[Array, Array]:
+    """[P, c] indices of each row's c nearest rows (self included at
+    column 0) plus the nearest-OTHER squared distance per row.
+
+    ``big`` carries +BIG for invalid rows so they never appear as
+    candidates. One O(P^2) pass, built once per level — amortized over
+    the hundreds of cheap sub-iterations that walk it."""
+    sq = jnp.sum(pts * pts, axis=-1)
+    d = sq[:, None] + sq[None, :] - 2.0 * (pts @ pts.T)
+    d = jnp.maximum(d, 0.0) + big[None, :]
+    neg, idx = jax.lax.top_k(-d, min(c, pts.shape[0]))
+    nn_other = -neg[:, 1] if neg.shape[1] > 1 else jnp.zeros_like(neg[:, 0])
+    return idx.astype(jnp.int32), nn_other
+
+
+# ---------------------------------------------------------------------------
 # XLA glue: O(N) loss + gradient wrt warped points
 # ---------------------------------------------------------------------------
 
@@ -580,6 +663,14 @@ _SWEEP_PACKED = os.environ.get("DP_SWEEP_PACKED", "1") == "1"
 # comfortably inside the 64 MB scoped-VMEM cap _compiler_params sets;
 # Mosaic rejects true overflows at compile time).
 _SWEEP_TM_ENV = int(os.environ.get("DP_SWEEP_TM", "0"))
+# Temporal-coherence sweep reuse (VERDICT r3 #5): DP_SWEEP_REUSE=T runs
+# one exact dual sweep per T iterations; the T-1 in-between iterations
+# re-warp (warp-only kernel) and update the association with a 1-hop walk
+# on precomputed KNN graphs, guarded by a drift bound (see
+# run_fused_level). 0/1 = off (exact sweep every iteration).
+_SWEEP_REUSE = int(os.environ.get("DP_SWEEP_REUSE", "0"))
+_SWEEP_REUSE_C = int(os.environ.get("DP_SWEEP_REUSE_C", "8"))
+_SWEEP_REUSE_DRIFT = float(os.environ.get("DP_SWEEP_REUSE_DRIFT", "1.0"))
 
 
 def _tm_cap(tm: int, n_pad: int, m: int, budget: int = 1 << 22) -> int:
@@ -621,7 +712,10 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
                     packed: bool | None = None,
                     w_reg: float = 0.0,
                     n_ldmk: int = 0, tgt_ldmk: Array | None = None,
-                    ldmk_valid: Array | None = None, w_cd: float = 1.0):
+                    ldmk_valid: Array | None = None, w_cd: float = 1.0,
+                    resweep_every: int | None = None,
+                    resweep_c: int | None = None,
+                    resweep_drift: float | None = None):
     """Adam-optimize one pyramid level with the two-kernel iteration.
 
     Drop-in for the unfused ``_solve_level`` body: same 3-way early
@@ -636,9 +730,31 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
     rows are +BIG-masked out of both sweep directions) scaled by
     ``w_cd`` and truncated at ``trunc``. Returns (updated level params
     dict, warped pts [N, 3], stats {iters, loss}).
+
+    ``resweep_every`` = T >= 2 enables temporal-coherence sweep reuse:
+    each while-loop step runs ONE exact dual-sweep iteration followed by
+    T-1 cheap iterations (warp-only kernel + a 1-hop argmin walk on
+    precomputed KNN graphs — the target cloud is static so its graph is
+    exact forever; the source graph is built in source space, which a
+    smooth warp preserves). Warps move ~1e-3/step near convergence, so
+    the argmin rarely leaves the current candidate's ``resweep_c``-
+    neighborhood between exact sweeps. A drift bound makes it safe: once
+    the max displacement since the last exact sweep exceeds
+    ``resweep_drift`` x the target's median NN spacing, the remaining
+    cheap sub-iterations HOLD (no param update, no ``it`` advance) until
+    the next exact sweep — stale association can then only ever cost
+    wall-clock, never correctness. The schedule is static (no lax.cond),
+    so it survives vmap without executing both branches. T in {0, 1}
+    keeps the one-exact-iteration-per-step path.
     """
     if interpret is None:
         interpret = not _on_tpu()
+    if resweep_every is None:
+        resweep_every = _SWEEP_REUSE
+    if resweep_c is None:
+        resweep_c = _SWEEP_REUSE_C
+    if resweep_drift is None:
+        resweep_drift = _SWEEP_REUSE_DRIFT
     n = pts.shape[0]
     m = t_sample.shape[0]
     n_pad = _round_up(max(n, 128), 128)
@@ -695,13 +811,22 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
     gate = ((jnp.asarray(level, jnp.int32) > 0)
             .astype(jnp.float32).reshape(1, 1)) if nonrigid else None
 
-    def body(c):
+    def assoc_full(p_list):
+        """Exact iteration front half: warp + O(N·M) dual argmin sweep."""
         outs = _fwd_sweep_call(
-            freq, xt_pad, xbig, yc_pad, ysqb, c["p"],
+            freq, xt_pad, xbig, yc_pad, ysqb, p_list,
             mlp_scale=mlp_scale, tm=tm, interpret=interpret,
             mxu_dist=mxu_dist, packed=packed, motion=motion,
             rotation_format=rotation_format, nonrigid=nonrigid, gate=gate)
         warped_t, _, cidx, _, rarg = outs[:5]
+        return warped_t, (outs[5] if nonrigid else None), cidx, rarg
+
+    def step_update(c, warped_t, nr_row, cidx, rarg, halt):
+        """Back half of one iteration: loss glue + early-stop book-keeping
+        + kernel-2 backward/Adam. ``halt`` = this sub-iteration must be a
+        no-op (already done / past the iteration cap / stale association
+        under sweep reuse); with ``halt`` = const False this reproduces
+        the pre-reuse loop body exactly."""
         loss, g_t = _chamfer_glue(warped_t, cidx, rarg, yc_pad, xv, yv,
                                   x_len, y_len, trunc)
         if n_ldmk > 0:
@@ -719,31 +844,34 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
             # chamfer-only sample mask — they only differ when landmarks
             # are present, which the gates keep off the nonrigid path)
             reg, vjp_nr = jax.vjp(
-                lambda q: _bce_zeros_row(q, row_valid), outs[5])
+                lambda q: _bce_zeros_row(q, row_valid), nr_row)
             w_eff = gate[0, 0] * w_reg
             loss = loss + w_eff * reg
             (g_nr,) = vjp_nr(w_eff)
+        run = jnp.logical_not(halt)
         small = loss < lcfg.loss_eps
         plateau = jnp.abs(c["loss_prev"] - loss) \
             < c["loss_prev"] * lcfg.break_threshold_ratio
-        counter = c["counter"] + plateau.astype(jnp.int32)
-        done = small | (counter >= lcfg.max_break_count)
+        counter = c["counter"] + (plateau & run).astype(jnp.int32)
+        done = jnp.where(run, small | (counter >= lcfg.max_break_count),
+                         c["done"])
+        hold = halt | done
         newp, newm, newv = _bwd_adam_call(
             freq, c["applied"].astype(jnp.float32).reshape(1, 1),
-            done.astype(jnp.float32).reshape(1, 1), xt_pad, g_t,
+            hold.astype(jnp.float32).reshape(1, 1), xt_pad, g_t,
             c["p"], c["m"], c["v"], mlp_scale=mlp_scale, lr=lcfg.lr,
             b1=0.9, b2=0.999, eps=1e-8, tn=tn, interpret=interpret,
             motion=motion, rotation_format=rotation_format,
             nonrigid=nonrigid, gate=gate, g_nr=g_nr)
         return {
             "p": newp, "m": newm, "v": newv,
-            "loss_prev": jnp.where(done, c["loss_prev"], loss),
+            "loss_prev": jnp.where(hold, c["loss_prev"], loss),
             "counter": counter,
             "done": done,
-            "it": c["it"] + 1,
-            "applied": c["applied"] + (1 - done.astype(jnp.int32)),
-            "aux": warped_t,
-            "loss": loss,
+            "it": c["it"] + run.astype(jnp.int32),
+            "applied": c["applied"] + jnp.where(hold, 0, 1),
+            "aux": jnp.where(halt, c["aux"], warped_t),
+            "loss": jnp.where(halt, c["loss"], loss),
         }
 
     init = {
@@ -756,11 +884,105 @@ def run_fused_level(lvl_params: dict, pts: Array, pts_valid: Array,
         "aux": xt_pad,
         "loss": jnp.float32(jnp.inf),
     }
-    out = jax.lax.while_loop(cond, body, init)
+
+    if resweep_every >= 2:
+        out = _reuse_loop(cond, assoc_full, step_update, init,
+                          freq=freq, xt_pad=xt_pad, xbig=xbig,
+                          yc_pad=yc_pad, yv=yv, mlp_scale=mlp_scale,
+                          interpret=interpret, motion=motion,
+                          rotation_format=rotation_format,
+                          nonrigid=nonrigid, gate=gate, lcfg=lcfg,
+                          resweep_every=resweep_every,
+                          resweep_c=resweep_c,
+                          resweep_drift=resweep_drift)
+    else:
+        def body(c):
+            warped_t, nr_row, cidx, rarg = assoc_full(c["p"])
+            return step_update(c, warped_t, nr_row, cidx, rarg,
+                               halt=jnp.bool_(False))
+
+        out = jax.lax.while_loop(cond, body, init)
     stats = {"iters": out["it"], "loss": out["loss"]}
     warped = out["aux"].T[:n]
     return (t_to_params(out["p"], motion=motion, nonrigid=nonrigid),
             warped, stats)
+
+
+def _reuse_loop(cond, assoc_full, step_update, init, *, freq, xt_pad, xbig,
+                yc_pad, yv, mlp_scale, interpret, motion, rotation_format,
+                nonrigid, gate, lcfg, resweep_every: int, resweep_c: int,
+                resweep_drift: float):
+    """The sweep-reuse schedule: while_loop over super-iterations of
+    [1 exact iteration ; scan of T-1 cheap iterations].
+
+    The schedule is STATIC — no lax.cond — so vmapped batches never pay
+    for both branches. Correctness envelope: cheap iterations use the
+    exact per-candidate distances of a walked association; the walk can
+    only lag the true argmin (loss upper bound), and the drift bound
+    turns sub-iterations into holds before the lag can grow past one
+    graph hop per step. Exactness is restored at every super-iteration
+    head.
+    """
+    n_pad = xt_pad.shape[1]
+    m_pad = yc_pad.shape[0]
+    # KNN graphs, once per level: y's in target space (static cloud =
+    # exact forever), x's in source space (a smooth warp preserves
+    # neighborhoods). Invalid rows (+BIG) never appear as candidates;
+    # column 0 is self, so the walk's candidate set always contains the
+    # current argmin (monotone within the candidate set).
+    big_y = jnp.where(yv, 0.0, _BIG)
+    knn_y, nn_y = _knn_table(yc_pad, big_y, resweep_c)
+    knn_x, _ = _knn_table(xt_pad.T, xbig[0], resweep_c)
+    # drift bound: resweep_drift x the target's median valid-NN spacing.
+    # Once points have moved further than this since the last exact
+    # sweep, a 1-hop-per-step walk may no longer track the true argmin.
+    d1 = jnp.sqrt(jnp.maximum(jnp.where(yv, nn_y, jnp.inf), 0.0))
+    n_valid = jnp.maximum(jnp.sum(yv), 1)
+    med = jnp.take(jnp.sort(d1), (n_valid - 1) // 2)
+    bound = (jnp.float32(resweep_drift) * med if resweep_drift > 0
+             else jnp.float32(jnp.inf))
+
+    def cheap_step(cc, _):
+        warped_t, nr_row = _warp_only_call(
+            freq, xt_pad, cc["p"], mlp_scale=mlp_scale,
+            interpret=interpret, motion=motion,
+            rotation_format=rotation_format, nonrigid=nonrigid,
+            gate=gate)
+        w = warped_t.T                                     # [n_pad, 3]
+        # per-x walk: candidates = KNN of the current NN in target space
+        cand = knn_y[cc["cidx"][0]]                        # [n_pad, c]
+        d = jnp.sum((w[:, None, :] - yc_pad[cand]) ** 2, axis=-1) \
+            + big_y[cand]
+        j = jnp.argmin(d, axis=1)
+        cidx = jnp.take_along_axis(cand, j[:, None], axis=1)[:, 0][None, :]
+        # per-y walk: candidates = source-space KNN of the current NN
+        candx = knn_x[cc["rarg"][:, 0]]                    # [m_pad, c]
+        dx = jnp.sum((yc_pad[:, None, :] - w[candx]) ** 2, axis=-1) \
+            + xbig[0][candx]
+        jx = jnp.argmin(dx, axis=1)
+        rarg = jnp.take_along_axis(candx, jx[:, None], axis=1)  # [m_pad,1]
+        drift = jnp.max(jnp.abs(warped_t - cc["wref"]))
+        stale = cc["stale"] | (drift > bound)
+        halt = cc["done"] | (cc["it"] >= lcfg.iters) | stale
+        c2 = step_update(cc, warped_t, nr_row, cidx, rarg, halt)
+        return {**c2, "cidx": cidx, "rarg": rarg, "wref": cc["wref"],
+                "stale": stale}, None
+
+    def super_body(c):
+        warped_t, nr_row, cidx, rarg = assoc_full(c["p"])
+        c2 = step_update(c, warped_t, nr_row, cidx, rarg,
+                         halt=c["done"] | (c["it"] >= lcfg.iters))
+        c2 = {**c2, "cidx": cidx, "rarg": rarg, "wref": warped_t,
+              "stale": jnp.bool_(False)}
+        c3, _ = jax.lax.scan(cheap_step, c2, None,
+                             length=resweep_every - 1)
+        return c3
+
+    init = dict(init,
+                cidx=jnp.zeros((1, n_pad), jnp.int32),
+                rarg=jnp.zeros((m_pad, 1), jnp.int32),
+                wref=xt_pad, stale=jnp.bool_(False))
+    return jax.lax.while_loop(cond, super_body, init)
 
 
 # ---------------------------------------------------------------------------

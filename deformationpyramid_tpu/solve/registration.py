@@ -85,6 +85,12 @@ class SolverConfig:
     # so it needs this explicit opt-in on top of use_fused_iteration
     # (None = DP_FUSED_LDMK env, default off).
     use_fused_ldmk: bool | None = None
+    # Temporal-coherence sweep reuse: T >= 2 runs one exact dual sweep
+    # per T iterations; the in-between iterations re-warp and walk the
+    # association on precomputed KNN graphs with a drift-bound hold
+    # (ops/fused_iteration.run_fused_level docstring). None = the
+    # DP_SWEEP_REUSE env (default 0 = exact sweep every iteration).
+    sweep_reuse: int | None = None
 
 
 def _bce_zeros(p: Array, valid: Array | None = None) -> Array:
@@ -116,7 +122,8 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
         if supports_fused_iteration(pcfg, cfg.w_reg, n_ldmk):
             return run_fused_level(lvl_params, pts, pts_valid, t_sample,
                                    t_valid, lvl, pcfg, lcfg,
-                                   w_reg=cfg.w_reg)
+                                   w_reg=cfg.w_reg,
+                                   resweep_every=cfg.sweep_reuse)
         if supports_fused_iteration_ldmk(pcfg, cfg.w_reg, n_ldmk, cfg.w_cd):
             if cfg.w_cd == 0:
                 # w_cd == 0 => pts IS the landmark rows (register_pair).
@@ -135,7 +142,8 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
                                        t_valid, lvl, pcfg, lcfg,
                                        trunc=cfg.trunc_cd, n_ldmk=n_ldmk,
                                        tgt_ldmk=tgt_ldmk,
-                                       ldmk_valid=ldmk_valid, w_cd=cfg.w_cd)
+                                       ldmk_valid=ldmk_valid, w_cd=cfg.w_cd,
+                                       resweep_every=cfg.sweep_reuse)
     # Fused level-warp kernels are opt-in: the A/B on the tunneled v5e chip
     # measured 0.397 (fused) vs 0.377 (unfused) ms/iteration at B=4 — the
     # kernel boundaries trade ~1:1 against XLA's own fusion here because

@@ -788,3 +788,105 @@ def test_register_pair_fused_iteration_equivalence():
     assert (outs[0][2] == outs[1][2]).all(), (outs[0][2], outs[1][2])
     assert np.allclose(outs[0][1], outs[1][1], atol=5e-3)
     assert np.abs(outs[0][0] - outs[1][0]).max() < 2e-2
+
+
+# ---------------- temporal-coherence sweep reuse ----------------
+
+def test_knn_table_matches_bruteforce():
+    from deformationpyramid_tpu.ops.fused_iteration import _BIG, _knn_table
+
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.standard_normal((40, 3)), jnp.float32)
+    big = jnp.where(jnp.arange(40) < 36, 0.0, _BIG)  # last 4 rows invalid
+    idx, nn_other = _knn_table(pts, big, 6)
+    d = np.sum((np.asarray(pts)[:, None] - np.asarray(pts)[None]) ** 2, -1)
+    d[:, 36:] = np.inf
+    order = np.argsort(d, axis=1)[:, :6]
+    for i in range(36):
+        assert set(np.asarray(idx)[i]) == set(order[i]), i
+        assert int(np.asarray(idx)[i, 0]) == i  # self at column 0
+        assert abs(float(nn_other[i]) - d[i, order[i, 1]]) < 1e-5
+
+
+def test_sweep_reuse_tiny_drift_holds_are_exact():
+    """With a ~zero drift bound every cheap sub-iteration holds, so the
+    reuse schedule degenerates to exact-sweep-only iterations — the
+    result must match resweep_every=0 exactly (same iters/loss/params).
+    This pins the halt plumbing: holds must not advance it/counter or
+    touch params/moments/loss_prev."""
+    pts, tgt, lvl_p = _setup(n=180, m=200, seed=5)
+    lcfg = LoopConfig(iters=25, lr=0.01, max_break_count=15,
+                      break_threshold_ratio=0.001)
+    pv = jnp.ones((pts.shape[0],), bool)
+    tv = jnp.ones((tgt.shape[0],), bool)
+    base_p, base_w, base_s = run_fused_level(
+        lvl_p, pts, pv, tgt, tv, jnp.int32(1), CFG, lcfg, interpret=True,
+        resweep_every=0)
+    re_p, re_w, re_s = run_fused_level(
+        lvl_p, pts, pv, tgt, tv, jnp.int32(1), CFG, lcfg, interpret=True,
+        resweep_every=4, resweep_drift=1e-12)
+    assert int(base_s["iters"]) == int(re_s["iters"])
+    assert float(base_s["loss"]) == float(re_s["loss"])
+    assert np.array_equal(np.asarray(base_w), np.asarray(re_w))
+    for k in base_p:
+        for kk in base_p[k]:
+            assert np.array_equal(np.asarray(base_p[k][kk]),
+                                  np.asarray(re_p[k][kk])), (k, kk)
+
+
+@pytest.mark.parametrize("T", [2, 4])
+def test_sweep_reuse_converges_close_to_exact(T):
+    """Default drift bound: the walked association tracks the exact one
+    closely enough that the level converges to a similar optimum (loss
+    within 10% relative, warped cloud within 5e-2)."""
+    pts, tgt, lvl_p = _setup(n=180, m=200, seed=7)
+    lcfg = LoopConfig(iters=40, lr=0.01, max_break_count=15,
+                      break_threshold_ratio=0.001)
+    pv = jnp.ones((pts.shape[0],), bool)
+    tv = jnp.ones((tgt.shape[0],), bool)
+    _, base_w, base_s = run_fused_level(
+        lvl_p, pts, pv, tgt, tv, jnp.int32(1), CFG, lcfg, interpret=True,
+        resweep_every=0)
+    _, re_w, re_s = run_fused_level(
+        lvl_p, pts, pv, tgt, tv, jnp.int32(1), CFG, lcfg, interpret=True,
+        resweep_every=T)
+    bl, rl = float(base_s["loss"]), float(re_s["loss"])
+    assert np.isfinite(rl)
+    assert rl < bl * 1.10 + 1e-4, (bl, rl)
+    # random gaussian clouds (not surfaces) make the association genuinely
+    # ambiguous, so trajectories diverge more than on real scans; the loss
+    # criterion above is the convergence-quality check, this one only pins
+    # "same basin"
+    assert np.abs(np.asarray(base_w) - np.asarray(re_w)).max() < 0.15
+
+
+def test_register_pair_sweep_reuse_end_to_end():
+    """Full pyramid with sweep_reuse: converges like the exact path
+    (final EPE within 2x) and runs under vmap (static schedule)."""
+    from deformationpyramid_tpu.data.synthetic import make_pair
+    from deformationpyramid_tpu.solve.registration import (
+        SolverConfig, register_batch, register_pair)
+
+    src, tgt, flow = make_pair(n=300, seed=0, deform=0.12)
+    base = dict(pyramid=NDPConfig(m=3, k0=-6, depth=3, width=48), iters=30,
+                lr=0.01, max_break_count=15, break_threshold_ratio=0.001,
+                samples=256, use_fused_iteration=True)
+    epes = []
+    for t in (0, 4):
+        cfg = SolverConfig(**base, sweep_reuse=t)
+        w, st = jax.jit(lambda k, s, t_: register_pair(k, s, t_, cfg))(
+            jax.random.key(0), jnp.array(src), jnp.array(tgt))
+        epes.append(float(np.linalg.norm(
+            (np.asarray(w) - src) - flow, axis=1).mean()))
+    init = float(np.linalg.norm(flow, axis=1).mean())
+    assert epes[1] < init * 0.7, (init, epes)       # it actually converges
+    assert epes[1] < max(epes[0] * 2.0, 0.02), epes  # and tracks exact
+
+    # vmap survival (the batched production path)
+    cfg = SolverConfig(**dict(base, iters=8), sweep_reuse=4)
+    keys = jax.random.split(jax.random.key(0), 2)
+    srcs = jnp.stack([jnp.array(src)] * 2)
+    tgts = jnp.stack([jnp.array(tgt)] * 2)
+    w, st = jax.jit(lambda k, s, t_: register_batch(k, s, t_, cfg))(
+        keys, srcs, tgts)
+    assert np.isfinite(np.asarray(w)).all()
