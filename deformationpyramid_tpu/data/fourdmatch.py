@@ -99,7 +99,8 @@ class FourDMatchDataset:
             corr = np.stack([corr[m, 0], remap[corr[m, 1]]], 1)
 
         if self.augment:
-            s_pc, t_pc, rot, trans = self._augment(s_pc, t_pc, rot, trans)
+            s_pc, t_pc, flow, rot, trans = self._augment(
+                s_pc, t_pc, flow, rot, trans)
 
         # scene-flow GT (eval_nolearned.py:75-78)
         warped = (rot @ (s_pc + flow).T + trans).T
@@ -111,8 +112,18 @@ class FourDMatchDataset:
                     name=self.entries[i], depth_paths=depth_paths,
                     cam_intrin=cam_intrin, metric_index=metric_index)
 
-    def _augment(self, s_pc, t_pc, rot, trans):
-        """Random SO(3) on src or tgt + noise (``_4dmatch.py:116-131``)."""
+    def _augment(self, s_pc, t_pc, flow, rot, trans):
+        """Random SO(3) on src or tgt + noise (``_4dmatch.py:116-131``).
+
+        The deformed source (``s_pc + flow``) rotates WITH the source and
+        the flow is recomputed after rotation + noise (reference
+        ``_4dmatch.py:121-130``), so the GT identity
+        ``R(s_pc + flow) + t = t_pc`` stays exact under augmentation (the
+        src noise is absorbed into the flow). The original version rotated
+        only ``s_pc`` with an inconsistent ``rot`` update, which made every
+        train-time GT inlier label garbage — NeCo trained on those labels
+        learned a constant confidence (the round-4 "NeCo filtering is a
+        no-op" finding)."""
         euler = self.rng.random(3) * 2 * np.pi
         cx, cy, cz = np.cos(euler)
         sx, sy, sz = np.sin(euler)
@@ -120,16 +131,19 @@ class FourDMatchDataset:
         Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
         Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
         R_ab = (Rx @ Ry @ Rz).astype(np.float32)
+        deformed = s_pc + flow
         if self.rng.random() > 0.5:
-            s_pc = s_pc @ R_ab
+            s_pc = (R_ab @ s_pc.T).T
+            deformed = (R_ab @ deformed.T).T
             rot = rot @ R_ab.T
         else:
-            t_pc = t_pc @ R_ab
+            t_pc = (R_ab @ t_pc.T).T
             rot = R_ab @ rot
             trans = R_ab @ trans
         s_pc = s_pc + (self.rng.random(s_pc.shape).astype(np.float32) - 0.5) * self.augment_noise
         t_pc = t_pc + (self.rng.random(t_pc.shape).astype(np.float32) - 0.5) * self.augment_noise
-        return s_pc, t_pc, rot, trans
+        flow = deformed - s_pc
+        return s_pc, t_pc, flow, rot, trans
 
 
 def _bucket_size(n: int, minimum: int = 1024) -> int:

@@ -55,6 +55,28 @@ def test_dataset_reader_and_batcher(tmp_path):
         assert b.src_valid.any(axis=1).all()
 
 
+def test_dataset_augment_preserves_gt_identity(tmp_path):
+    """Train-time augmentation must keep ``R(Ps + flow) + t = Pt`` exact
+    (reference ``_4dmatch.py:116-131`` rotates the DEFORMED source with
+    the source and recomputes the flow afterwards). Regression test for
+    the round-4 finding: the old ``_augment`` left the flow stale with an
+    inconsistent ``rot`` update, so every train-time GT inlier label was
+    garbage and NeCo learned a constant confidence."""
+    root = str(tmp_path / "split")
+    write_synthetic_4dmatch(root, "train", n_pairs=1, n_pts=300)
+    with np.load(os.path.join(root, "train", "seq0", "pair0.npz")) as z:
+        corr = z["correspondences"]
+    # both augmentation branches (src-rotate and tgt-rotate) across seeds
+    for seed in range(6):
+        ds = FourDMatchDataset(root, "train", augment=True)
+        ds.rng = np.random.default_rng(seed)
+        p = ds[0]
+        warped = p.src[corr[:, 0]] + p.flow_gt[corr[:, 0]]
+        err = np.linalg.norm(warped - p.tgt[corr[:, 1]], axis=1)
+        # only the target-side augment noise separates them (2 mm box)
+        assert err.max() < 0.004, f"seed {seed}: max err {err.max():.4f}"
+
+
 @pytest.mark.parametrize("config,extra", [
     ("config/NDP.yaml", ["--visualize"]),                      # fast path
     ("config/NDP.yaml", ["--host-metrics", "--visualize"]),    # host warp
