@@ -106,7 +106,23 @@ def main():
                     help="validation split (default: 'val', or "
                          "'val-<suffix>' when --split is 'train-<suffix>')")
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--augment", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="train-time random-SO(3) augmentation (reference "
+                         "_4dmatch.py:116-131 applies it on the train "
+                         "split; default on, matching the reference). "
+                         "The reference's matcher is itself trained WITH "
+                         "this augmentation, so its match distribution "
+                         "under rotation is meaningful; this repo's "
+                         "matcher trains augment-free (see train_matcher) "
+                         "and emits mostly-outlier matches on rotated "
+                         "pairs — use --no-augment to train NeCo on the "
+                         "match distribution it will actually see at "
+                         "eval (unrotated, inlier-dominated).")
     ap.add_argument("--matcher-weights", default=None)
+    ap.add_argument("--snapshot-dir", default="snapshot/neco",
+                    help="history.jsonl / checkpoint directory (give each "
+                         "retrain its own so histories don't interleave)")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--save-landmark", default=None,
                     help="after training, save the combined "
@@ -125,7 +141,7 @@ def main():
         lcfg = landmark_config_from_yaml(ldmk_yaml)
     else:
         lcfg = LandmarkConfig()
-    ds = FourDMatchDataset(data_root, args.split, augment=True)
+    ds = FourDMatchDataset(data_root, args.split, augment=args.augment)
     if args.limit:
         ds.entries = ds.entries[:args.limit]
     if len(ds) == 0:
@@ -147,7 +163,8 @@ def main():
                        scheduler=cfg.get("scheduler", "ExpLR"),
                        scheduler_gamma=cfg.get("scheduler_gamma", 0.99),
                        lr_milestones=tuple(cfg.get("lr_milestones", ())),
-                       iter_size=cfg.get("iter_size", 1))
+                       iter_size=cfg.get("iter_size", 1),
+                       snapshot_dir=args.snapshot_dir)
     # validation split for best-model selection (reference trainer.py:266-271)
     val_stream = None
     if cfg.get("do_valid", False):
