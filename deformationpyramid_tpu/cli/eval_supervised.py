@@ -232,6 +232,18 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
                     jnp.array(ldmk_valid),
                     jnp.array(pair.rot), jnp.array(pair.trans),
                     jnp.array(ldmk_flow_gt)))
+                # pre-NeCo IR over the RAW mutual-max match set (reference
+                # outlier_rejection/loss.py:30-60 reports IR before/after
+                # filtering) — with rejection on, IR - IR_pre is NeCo's
+                # per-pair effect without needing an on/off A/B run
+                v6 = np.asarray(data["vec_6d"])
+                v6_mask = np.asarray(data["vec_6d_mask"])
+                m["n_matches_pre"] = float(v6_mask.sum())
+                m["IR_pre"] = float(inlier_ratio(
+                    jnp.array(v6[:, :3]), jnp.array(v6[:, 3:]),
+                    jnp.array(v6_mask),
+                    jnp.array(pair.rot), jnp.array(pair.trans),
+                    jnp.array(interp_flow(v6[:, :3], pair))))
                 if pair.metric_index is not None and len(pair.metric_index):
                     mi = pair.metric_index
                 else:

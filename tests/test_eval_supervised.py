@@ -51,6 +51,15 @@ def test_run_eval_supervised_loop(tmp_path):
     assert "full-epe" in log
     assert "IR" in log and "NRFMR" in log
 
+    # pre-NeCo IR recorded per pair; with rejection OFF the filter is the
+    # identity so IR == IR_pre row by row
+    import json
+    rows = [json.loads(ln) for ln in
+            (tmp_path / "log" / "4DMatch-F.pairs.jsonl").read_text().splitlines()]
+    for row in rows:
+        assert row["IR_pre"] == pytest.approx(row["IR"])
+        assert row["n_matches_pre"] >= row["n_landmarks"]
+
     # lossless resume: the ledger recorded both pairs, so a resumed sweep
     # skips everything yet reproduces the aggregates in a fresh log line
     ledger = (tmp_path / "log" / "4DMatch-F.pairs.jsonl").read_text()
