@@ -328,6 +328,11 @@ def main():
                     help="override the extraction capacity (0/unset = "
                          "uncapped reference semantics; e.g. 256 restores "
                          "the pre-round-4 fixed top-k cap for A/Bs)")
+    ap.add_argument("--w-cd", type=float, default=None,
+                    help="override the chamfer weight in the landmark-mode "
+                         "solver objective (reference registration.py:187-203: "
+                         "loss_ldmk + w_cd * truncated-CD; config/LNDP.yaml "
+                         "ships w_cd=0 = landmarks only)")
     ap.add_argument("--reject-outliers", dest="reject_outliers",
                     action="store_true", default=None,
                     help="force NeCo outlier rejection ON (A/B knob)")
@@ -361,7 +366,8 @@ def main():
                           motion=cfg.get("motion_type", "SE3")),
         iters=cfg.get("iters", 500), lr=cfg.get("lr", 0.01),
         samples=cfg.get("samples", 2000),
-        w_cd=cfg.get("w_cd", 0.0), trunc_cd=cfg.get("trunc_cd", 0.25),
+        w_cd=(args.w_cd if args.w_cd is not None else cfg.get("w_cd", 0.0)),
+        trunc_cd=cfg.get("trunc_cd", 0.25),
         use_fused_iteration=_fused_iter_default(cfg))
 
     params = init_landmark_model(jax.random.key(0), lcfg)

@@ -41,4 +41,15 @@ run lndp_occ_noaug_noneco 7200 python -m deformationpyramid_tpu.cli.eval_supervi
     --weights snapshot/landmark_trained_occ_noaug.npz --no-reject-outliers \
     --log-dir "$OUT/lndp_occ_noaug_noneco"
 
+# combined landmark+chamfer objective on the occ split (reference
+# registration.py:187-203 supports loss_ldmk + w_cd*truncated-CD;
+# config/LNDP.yaml ships w_cd=0 = landmarks only). Truncation 0.25
+# bounds the occluded-region chamfer drag that sinks plain NDP here —
+# does adding the visible-region chamfer term to the landmark anchors
+# beat both pure modes?
+run lndp_occ_wcd1 7200 python -m deformationpyramid_tpu.cli.eval_supervised \
+    --config config/LNDP.yaml --splits 4DLoMatch-Occ --w-cd 1.0 \
+    --weights snapshot/landmark_trained_occ_noaug.npz \
+    --log-dir "$OUT/lndp_occ_wcd1"
+
 echo "=== neco_noaug batch done $(date -u) ===" | tee -a "$OUT/batch.log"
