@@ -381,7 +381,8 @@ def main():
                         for k2, v in row.items():
                             meters.setdefault(k2, AverageMeter()).update(v)
                 n_done = len(recovered)
-        done_fw = open(done_path, "a")
+        n_recovered = n_done  # resume-recovered pairs: count toward the
+        done_fw = open(done_path, "a")   # meters but not this run's rate
         ledger_fw = open(ledger_path, "a")
 
         stamps: list[float] = []   # harvest completion times -> per-pair summary
@@ -445,7 +446,14 @@ def main():
                 ledger_fw.flush()
                 done_fw.write(name + "\n")
                 done_fw.flush()
-            stamps.append(time.perf_counter())
+            # one device sync covered the whole batch: record AMORTIZED
+            # per-pair stamps (k equal diffs summing to the batch wall
+            # time) so split_summary's per_pair_s stays a per-PAIR figure
+            # on the legacy batched path too
+            now = time.perf_counter()
+            prev, k = stamps[-1], max(len(seen), 1)
+            stamps.extend(prev + (now - prev) * (j + 1) / k
+                          for j in range(k))
 
         def dispatch(batch):
             nonlocal key
@@ -612,12 +620,14 @@ def main():
                 timers.toc("registration")
                 harvest(batch, out)
         dt = time.perf_counter() - t_split
-        if n_done:
-            print(f"[{split}] {n_done} pairs in {dt:.1f}s "
-                  f"= {n_done / dt:.2f} pairs/s")
+        n_this_run = n_done - n_recovered  # rate covers THIS run only —
+        if n_this_run:                     # recovered pairs took no time here
+            print(f"[{split}] {n_this_run} pairs in {dt:.1f}s "
+                  f"= {n_this_run / dt:.2f} pairs/s")
             from ..utils.reporting import split_summary
 
-            summary = split_summary("ndp_suite", split, stamps, n_done, dt)
+            summary = split_summary("ndp_suite", split, stamps,
+                                    n_this_run, dt)
             print(summary)
             logger.write(summary + "\n")
 

@@ -168,6 +168,14 @@ def main():
     # validation split for best-model selection (reference trainer.py:266-271)
     val_stream = None
     if cfg.get("do_valid", False):
+        if val_split == args.split:
+            # --split without a 'train' substring: the derived val split
+            # would BE the training data, silently invalidating best-model
+            # selection (reference trainer.py:266-271 selects on val loss)
+            raise SystemExit(
+                f"cannot derive a validation split from --split "
+                f"{args.split!r} (no 'train' substring to replace); pass "
+                "--val-split explicitly")
         vds = FourDMatchDataset(data_root, val_split, augment=False)
         if args.limit:
             vds.entries = vds.entries[:args.limit]

@@ -688,9 +688,14 @@ def _tm_cap(tm: int, n_pad: int, m: int, budget: int = 1 << 22) -> int:
     # Non-pow2 m > tm: m_pad = round_up(m, tm), so a large tile can pad
     # far past m (e.g. m=3000 @ tm=2048 -> m_pad=4096, +33% sweep rows).
     # Step tm down by halves while that strictly shrinks the padded row
-    # count — ties keep the larger tile (fewer grid steps).
-    while tm > 8 and m > tm and _round_up(m, tm // 2) < _round_up(m, tm):
-        tm //= 2
+    # count — ties keep the larger tile (fewer grid steps). Each step
+    # re-rounds to the 8-row sublane multiple (a bare tm//2 of e.g. 408
+    # gives 204, breaking the alignment every other path maintains).
+    while tm > 8 and m > tm:
+        nxt = max((tm // 2) // 8 * 8, 8)
+        if nxt == tm or _round_up(m, nxt) >= _round_up(m, tm):
+            break
+        tm = nxt
     return min(tm, _round_up(max(m, 8), 8))
 
 
@@ -961,7 +966,12 @@ def _reuse_loop(cond, assoc_full, step_update, init, *, freq, xt_pad, xbig,
             + xbig[0][candx]
         jx = jnp.argmin(dx, axis=1)
         rarg = jnp.take_along_axis(candx, jx[:, None], axis=1)  # [m_pad,1]
-        drift = jnp.max(jnp.abs(warped_t - cc["wref"]))
+        # drift over sweep-participating lanes only (xbig==0): padded /
+        # invalid / landmark rows also move under the level warp and a
+        # max over them would trip the stale hold on motion the chamfer
+        # association never sees
+        drift = jnp.max(jnp.where(xbig == 0.0,
+                                  jnp.abs(warped_t - cc["wref"]), 0.0))
         stale = cc["stale"] | (drift > bound)
         halt = cc["done"] | (cc["it"] >= lcfg.iters) | stale
         c2 = step_update(cc, warped_t, nr_row, cidx, rarg, halt)

@@ -87,7 +87,8 @@ run finetune_occ 10800 python -m deformationpyramid_tpu.cli.train_matcher \
 run train_neco_occ 5400 python -m deformationpyramid_tpu.cli.train_neco \
     --config config/LNDP.yaml --epochs 8 --split train-occ \
     --matcher-weights snapshot/matcher_occ/matcher_best_loss.npz \
-    --save-landmark snapshot/landmark_trained_occ.npz
+    --save-landmark snapshot/landmark_trained_occ.npz \
+    --snapshot-dir snapshot/neco_occ
 run lndp_occ 7200 python -m deformationpyramid_tpu.cli.eval_supervised \
     --config config/LNDP.yaml --splits 4DLoMatch-Occ \
     --weights snapshot/landmark_trained_occ.npz \

@@ -27,13 +27,15 @@ run() {  # run <name> <timeout_s> <cmd...>
 run train_neco_fix 5400 python -m deformationpyramid_tpu.cli.train_neco \
     --config config/LNDP.yaml --epochs 8 \
     --matcher-weights snapshot/matcher/matcher_best_loss.npz \
-    --save-landmark snapshot/landmark_trained.npz
+    --save-landmark snapshot/landmark_trained.npz \
+    --snapshot-dir snapshot/neco_fix
 
 # occ-regime NeCo retrain on the occ-finetuned matcher
 run train_neco_occ_fix 5400 python -m deformationpyramid_tpu.cli.train_neco \
     --config config/LNDP.yaml --epochs 8 --split train-occ \
     --matcher-weights snapshot/matcher_occ/matcher_best_loss.npz \
-    --save-landmark snapshot/landmark_trained_occ.npz
+    --save-landmark snapshot/landmark_trained_occ.npz \
+    --snapshot-dir snapshot/neco_occ_fix
 
 # NeCo on/off A/B on the occlusion split with the fixed checkpoint
 run lndp_occ_fix 7200 python -m deformationpyramid_tpu.cli.eval_supervised \

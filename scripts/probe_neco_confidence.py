@@ -89,6 +89,11 @@ def main():
                      jnp.int32(pyr.tgt_lengths[cl]), cap, cap)
         conf = np.asarray(data["neco_confidence"])
         valid = np.asarray(data["vec_6d_mask"]).astype(bool)
+        if not valid.any():
+            # rotated pairs through the augment-free matcher can yield
+            # zero mutual-max matches above threshold (--augment mode)
+            print(f"pair {i}: 0 matches")
+            continue
         ls = np.asarray(data["ldmk_s"])[valid]
         lt = np.asarray(data["ldmk_t"])[valid]
         conf = conf[valid]

@@ -78,6 +78,24 @@ def _pad_inputs(pts, tgt, lvl=1):
     return xt_pad, xbig, yc, ysqb, xv, yv, freq, tm, n_pad, m_pad
 
 
+def test_tm_cap_sublane_alignment():
+    """Every tile height _tm_cap emits is a multiple of 8 (Mosaic sublane)
+    and never pads m more than the un-stepped tile would; the halving
+    step-down for non-pow2 m must re-round (816 -> 408 -> 204 was the
+    bug: 204 % 8 != 0)."""
+    from deformationpyramid_tpu.ops.fused_iteration import _round_up, _tm_cap
+
+    for budget in (1 << 21, 1 << 22):
+        for n_pad in (128, 256, 2048, 2560, 4096):
+            for m in (7, 100, 200, 2048, 2049, 2500, 3000, 5000):
+                tm = _tm_cap(2048, n_pad, m, budget=budget)
+                assert tm % 8 == 0, (budget, n_pad, m, tm)
+                assert tm >= 8
+                base = min(2048, max(8, (budget // n_pad) // 8 * 8))
+                base = min(base, _round_up(max(m, 8), 8))
+                assert _round_up(max(m, 8), tm) <= _round_up(max(m, 8), base)
+
+
 def test_param_roundtrip():
     _, _, lvl_p = _setup()
     back = t_to_params(params_to_t(lvl_p))
