@@ -120,9 +120,11 @@ def match_motion_loss(data: dict, match_gt: Array, match_gt_valid: Array,
 
 def compute_inlier_mask(vec6d: Array, vec6d_valid: Array, match_idx: Array,
                         s_pcd: Array, coarse_flow: Array, gt_rot: Array,
-                        gt_trn: Array, inlier_thr: float = 0.1) -> Array:
+                        gt_trn: Array, inlier_thr: float = 0.04) -> Array:
     """GT inlier labels for extracted matches
-    (``outlier_rejection/loss.py:162-190``)."""
+    (``outlier_rejection/loss.py:162-190``); the reference trains with
+    ``inlier_thr: 0.04`` (``configs/train/4dmatch.yaml:28``), the same
+    4 cm the IR/NRFMR evaluators use (``lib/tester.py:129``)."""
     s_warp = (gt_rot @ (s_pcd + coarse_flow).T + gt_trn).T
     s_gt = s_warp[match_idx[:, 0]]
     t_matched = vec6d[:, 3:]
@@ -145,8 +147,17 @@ def balanced_bce(prediction: Array, labels: Array, valid: Array) -> Array:
 def neco_loss(confidence: Array, vec6d: Array, vec6d_valid: Array,
               match_idx: Array, s_pcd: Array, coarse_flow: Array,
               gt_rot: Array, gt_trn: Array,
-              inlier_thr: float = 0.1) -> tuple[Array, dict]:
-    """Balanced BCE + IR metrics before/after filtering."""
+              inlier_thr: float = 0.04) -> tuple[Array, dict]:
+    """Balanced BCE + IR metrics before/after filtering.
+
+    ``inlier_thr`` is the LABEL threshold (4 cm, reference
+    ``configs/train/4dmatch.yaml:28``) — distinct from the eval-time
+    CONFIDENCE threshold ``config/LNDP.yaml inlier_thr: 0.3``. The old
+    0.1 default starved training of negatives in close-displacement
+    regimes: with nearly every match within 10 cm, pos_rate -> 1 and the
+    class-balanced weights (1-pos_rate, pos_rate) scale the whole BCE to
+    ~2*p*(1-p)*0.69 ~ 1e-3 with near-zero gradient (the round-4
+    flat-confidence NeCo finding, docs/LEARNING.md)."""
     labels = compute_inlier_mask(vec6d, vec6d_valid, match_idx, s_pcd,
                                  coarse_flow, gt_rot, gt_trn, inlier_thr)
     loss = balanced_bce(confidence, labels, vec6d_valid)

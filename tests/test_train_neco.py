@@ -137,6 +137,33 @@ def test_valid_gradient_guard():
     assert not bool(valid_gradient(bad))
 
 
+def test_inlier_label_threshold_is_4cm():
+    """The LABEL threshold is the reference's 4 cm
+    (configs/train/4dmatch.yaml:28), not 10 cm: a match 6 cm off the GT
+    warp must label as an outlier, else close-displacement regimes go
+    single-class and the balanced BCE's gradient vanishes (pos_rate -> 1
+    scales the whole loss by 1-pos_rate; the round-4 flat-confidence
+    finding)."""
+    from deformationpyramid_tpu.match.losses import (
+        balanced_bce, compute_inlier_mask)
+
+    s = jnp.zeros((4, 3), jnp.float32)
+    t = jnp.array([[0.0, 0, 0], [0.06, 0, 0], [0.03, 0, 0], [0.5, 0, 0]],
+                  jnp.float32)
+    vec6d = jnp.concatenate([s, t], axis=1)
+    idx = jnp.stack([jnp.arange(4), jnp.arange(4)], axis=1)
+    valid = jnp.ones(4, bool)
+    labels = compute_inlier_mask(vec6d, valid, idx, s, jnp.zeros_like(s),
+                                 jnp.eye(3), jnp.zeros((3, 1)))
+    assert labels.tolist() == [True, False, True, False]
+
+    # single-class labels collapse the balanced BCE to ~0 with ~0 gradient
+    conf = jnp.full((4,), 0.5)
+    lo = balanced_bce(conf, jnp.ones(4, bool), valid)
+    hi = balanced_bce(conf, jnp.array([True, False, True, False]), valid)
+    assert float(lo) < 0.05 * float(hi)
+
+
 def test_neco_learns_to_reject_planted_outliers():
     """Multi-step training lifts post-filter IR well above the unfiltered
     rate on a synthetic task with 40% planted outlier matches."""
