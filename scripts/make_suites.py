@@ -20,6 +20,14 @@ fixed seed). Splits:
 * train-occ / val-occ — same sizes, coherent occlusion at partial 0.55,
                  so the matcher/NeCo can be fine-tuned for the occluded
                  regime if plain weights don't transfer.
+* train-occ-b / val-occ-b — fresh seeds at the EVAL regime (partial
+                 0.40, coherent): NeCo's training split. NeCo must train
+                 on pairs its frozen matcher has NOT been fine-tuned on —
+                 on train-occ the matcher memorizes its own split
+                 (pre-filter IR 0.996-0.998 at 4 cm) leaving no negative
+                 labels, while on held-out pairs it emits the eval-like
+                 3-20% outliers the balanced BCE needs (round-4 NeCo
+                 diagnostic, docs/LEARNING.md).
 
 Usage: python scripts/make_suites.py [root=data/split]
 """
@@ -43,6 +51,12 @@ def main(root: str = "data/split") -> None:
     n += len(write_4dmatch_suite(root, "val-occ", n_pairs=8,
                                  size_clusters=(6000,), seed=81,
                                  partial=0.55, occlusion="coherent"))
+    n += len(write_4dmatch_suite(root, "train-occ-b", n_pairs=48,
+                                 size_clusters=(6000,), seed=12,
+                                 partial=0.40, occlusion="coherent"))
+    n += len(write_4dmatch_suite(root, "val-occ-b", n_pairs=8,
+                                 size_clusters=(6000,), seed=13,
+                                 partial=0.40, occlusion="coherent"))
     print(f"wrote {n} pairs under {root}/")
 
 

@@ -7,6 +7,10 @@
 # IR is 0.79-0.97 at 4 cm) the balanced BCE finally has signal.
 # Keep --no-augment: the matcher trains augment-free, so rotated pairs
 # are out-of-distribution for it (see onchip_r4_neco_noaug.sh header).
+# Train on train-occ-b (fresh seeds at the eval regime): on train-occ the
+# fine-tuned matcher memorizes its own split (pre-filter IR 0.996-0.998
+# at 4 cm -> still single-class); held-out pairs give eval-like
+# negatives.
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
@@ -26,7 +30,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 run train_neco_occ_4cm 7200 python -m deformationpyramid_tpu.cli.train_neco \
-    --config config/LNDP.yaml --epochs 16 --split train-occ --no-augment \
+    --config config/LNDP.yaml --epochs 16 --split train-occ-b --no-augment \
     --matcher-weights snapshot/matcher_occ/matcher_best_loss.npz \
     --save-landmark snapshot/landmark_trained_occ_4cm.npz \
     --snapshot-dir snapshot/neco_occ_4cm
