@@ -87,6 +87,10 @@ def solver_from_config(cfg: AttrDict):
             max_break_count=cfg.get("max_break_count", 15),
             break_threshold_ratio=cfg.get("break_threshold_ratio", 0.001),
             samples=cfg.get("samples", 2000), w_reg=cfg.get("w_reg", 0.0),
+            # chamfer-mode truncation override (--trunc-chamfer / YAML):
+            # reference hardcodes 1e9 (model/registration.py:212); finite
+            # values are the partial-overlap control for occluded suites
+            trunc_chamfer=cfg.get("trunc_chamfer", 1e9),
             use_fused_iteration=_fused_iter_default(cfg),
         )
         fn = lambda keys, s, t, sv, tv: register_batch(keys, s, t, scfg, sv, tv)
@@ -286,6 +290,12 @@ def main():
     ap.add_argument("--log-dir", default=None,
                     help="override the snapshot directory (default "
                          "snapshot/<folder>/<exp_dir> from the config)")
+    ap.add_argument("--trunc-chamfer", type=float, default=None,
+                    help="override the pure-chamfer-mode truncation "
+                         "(reference default 1e9, model/registration.py:212); "
+                         "e.g. 0.25 = the LNDP trunc_cd, the mechanism "
+                         "designed for partial overlap — the no-learned "
+                         "control for occlusion suites")
     ap.add_argument("--host-metrics", action="store_true",
                     help="fetch only the ~150 KB pyramid params per pair "
                          "and run the full-cloud warp + metrics on the "
@@ -295,6 +305,8 @@ def main():
     args = ap.parse_args()
 
     cfg = load_config(args.config)
+    if args.trunc_chamfer is not None:
+        cfg["trunc_chamfer"] = args.trunc_chamfer
     if cfg.get("deformation_model") == "ED":
         # The reference drives all five deformation models through one entry
         # point (``/root/reference/eval_nolearned.py`` ->

@@ -60,6 +60,13 @@ class SolverConfig:
     w_ldmk: float = 0.0
     w_cd: float = 0.0        # chamfer weight in landmark mode
     trunc_cd: float = 0.25   # chamfer truncation in landmark mode (squared)
+    # Pure-chamfer-mode truncation. The reference hardcodes trunc=1e9 for
+    # the no-landmark objective (``model/registration.py:212``) — the
+    # truncation mechanism designed for partial overlap is only ever used
+    # on the landmark+chamfer branch (``:195``). Overriding this (e.g.
+    # 0.25, the LNDP trunc_cd) gives plain NDP its best shot on occluded
+    # suites — the skeptic's control for the learned-stack headline.
+    trunc_chamfer: float = 1e9
     loss_eps: float = 1e-4
     use_pallas: bool | None = None  # None = auto-detect TPU backend
     # Measured-neutral/negative fusion experiments, kept strictly OPT-IN
@@ -122,6 +129,7 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
         if supports_fused_iteration(pcfg, cfg.w_reg, n_ldmk):
             return run_fused_level(lvl_params, pts, pts_valid, t_sample,
                                    t_valid, lvl, pcfg, lcfg,
+                                   trunc=cfg.trunc_chamfer,
                                    w_reg=cfg.w_reg,
                                    resweep_every=cfg.sweep_reuse)
         if supports_fused_iteration_ldmk(pcfg, cfg.w_reg, n_ldmk, cfg.w_cd):
@@ -163,12 +171,12 @@ def _solve_level(lvl_params: dict, lvl: Array, pts: Array, pts_valid: Array,
         """Truncated chamfer vs the fixed target sample; the fused kernel
         folds loss + scatter-gradient into one sweep (grad wrt wx only —
         t_sample is constant here, reference registration.py:205-216)."""
+        trunc = cfg.trunc_chamfer if n_ldmk == 0 else cfg.trunc_cd
         if fused_cd:
             return chamfer_l1_fused(wx, t_sample, x_valid=wv, y_valid=t_valid,
-                                    trunc=1e9 if n_ldmk == 0 else cfg.trunc_cd)
+                                    trunc=trunc)
         return truncated_chamfer(wx, t_sample, x_valid=wv, y_valid=t_valid,
-                                 trunc=1e9 if n_ldmk == 0 else cfg.trunc_cd,
-                                 use_pallas=cfg.use_pallas)
+                                 trunc=trunc, use_pallas=cfg.use_pallas)
 
     pts_t = pts.T if (use_t or fused_t) else None
 
