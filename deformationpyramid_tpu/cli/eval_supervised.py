@@ -59,7 +59,8 @@ def interp_flow(query_pts: np.ndarray, pair) -> np.ndarray:
 
 def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
              splits, batch_limit=None, seed=0, log_dir="snapshot/lndp",
-             stream_depth: int = 4, resume: bool = False):
+             stream_depth: int = 4, resume: bool = False,
+             stage_timers: bool = False, oracle_filter: bool = False):
     import json
 
     timers = Timers()
@@ -73,6 +74,28 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
         lambda p, pyr, sl, tl, s_cap, t_cap: landmark_inference(
             p, pyr, sl, tl, lcfg, s_cap=s_cap, t_cap=t_cap),
         static_argnums=(4, 5))
+    # split matcher / NeCo programs for the instrumented + oracle modes
+    # (--stage-timers syncs between stages; --oracle-filter needs the raw
+    # match set on the host before the solver sees landmarks)
+    split_stages = stage_timers or oracle_filter
+    if split_stages:
+        from ..match.landmark import matcher_inference, neco_filter
+
+        match_jit = jax.jit(
+            lambda p, pyr, sl, tl, s_cap, t_cap: matcher_inference(
+                p, pyr, sl, tl, lcfg, s_cap=s_cap, t_cap=t_cap),
+            static_argnums=(4, 5))
+        neco_jit = jax.jit(lambda p, d: neco_filter(p, d, lcfg))
+    # tunnel round-trip probe: fetching a READY 0-d buffer measures pure
+    # link latency at that moment (no compute, no compile), so stage wall
+    # times can be read against concurrent congestion (VERDICT r4 #5)
+    _probe = jnp.zeros(())
+    np.asarray(_probe)  # warm the fetch path
+
+    def _rtt_ms() -> float:
+        t0 = time.perf_counter()
+        np.asarray(_probe)
+        return (time.perf_counter() - t0) * 1e3
 
     from .eval_nolearned import METRIC_KEYS
 
@@ -99,6 +122,7 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
         meters: dict[str, AverageMeter] = {}
         n_done = 0
         stamps: list[float] = []   # harvest times -> per-pair summary
+        stages_acc: dict[str, list[float]] = {}  # --stage-timers ms lists
 
         # lossless eval-sweep resume, same .done + .pairs.jsonl ledger
         # protocol as eval_nolearned (reference equivalent: per-split
@@ -120,7 +144,9 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
                     if name in finished and name not in recovered:
                         recovered.add(name)
                         for k2, v in row.items():
-                            meters.setdefault(k2, AverageMeter()).update(v)
+                            if isinstance(v, (int, float)):
+                                meters.setdefault(
+                                    k2, AverageMeter()).update(v)
                 n_done = len(recovered)
         done_fw = open(done_path, "a")
         ledger_fw = open(ledger_path, "a")
@@ -156,10 +182,22 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
         # ~0.36 s collate vs ~0.32 s matcher at 8k points)
         from concurrent.futures import ThreadPoolExecutor
 
+        def gt_inlier_keep(v6: np.ndarray, mask: np.ndarray,
+                           pair) -> np.ndarray:
+            """GT inlier mask over raw matches (reference
+            ``outlier_rejection/loss.py:162-190`` compute_inlier_mask):
+            inlier iff ||R(s + flow_def(s)) + t - t_match|| < 0.04."""
+            flow = interp_flow(np.ascontiguousarray(v6[:, :3]), pair)
+            warped = (pair.rot @ (v6[:, :3] + flow).T + pair.trans).T
+            d2 = np.sum((warped - v6[:, 3:]) ** 2, axis=1)
+            return mask & (d2 < 0.04 ** 2)
+
         def dispatch(pair, pyr):
             """Enqueue matcher + landmark-guided solve for one pair;
-            returns device futures (no host sync)."""
+            returns device futures (no host sync on the default path;
+            --stage-timers/--oracle-filter sync between stages)."""
             nonlocal key
+            stage: dict[str, float] = {}
             pyrd = {"points": [jnp.array(p) for p in pyr.points],
                     "valids": [jnp.array(v) for v in pyr.valids],
                     "neighbors": [jnp.array(x) for x in pyr.neighbors],
@@ -176,8 +214,38 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             while cap < max(int(pyr.src_lengths[cl]),
                             int(pyr.tgt_lengths[cl])):
                 cap *= 2
-            data = ldmk_jit(params, pyrd, jnp.int32(pyr.src_lengths[cl]),
-                            jnp.int32(pyr.tgt_lengths[cl]), cap, cap)
+            sl = jnp.int32(pyr.src_lengths[cl])
+            tl = jnp.int32(pyr.tgt_lengths[cl])
+            if split_stages:
+                if stage_timers:
+                    stage["rtt_pre"] = _rtt_ms()
+                t0 = time.perf_counter()
+                data = match_jit(params, pyrd, sl, tl, cap, cap)
+                if stage_timers:
+                    np.asarray(data["vec_6d"])
+                    stage["matcher"] = (time.perf_counter() - t0) * 1e3
+                if oracle_filter:
+                    t0 = time.perf_counter()
+                    v6 = np.asarray(data["vec_6d"])
+                    mask = np.asarray(data["vec_6d_mask"]).astype(bool)
+                    keep = gt_inlier_keep(v6, mask, pair)
+                    vec6d = np.where(keep[:, None], v6, 0.0).astype(np.float32)
+                    data = dict(data,
+                                neco_confidence=jnp.array(
+                                    keep.astype(np.float32)),
+                                ldmk_s=jnp.array(vec6d[:, :3]),
+                                ldmk_t=jnp.array(vec6d[:, 3:]),
+                                ldmk_valid=jnp.array(keep))
+                    if stage_timers:
+                        stage["oracle"] = (time.perf_counter() - t0) * 1e3
+                else:
+                    t0 = time.perf_counter()
+                    data = neco_jit(params, data)
+                    if stage_timers:
+                        np.asarray(data["ldmk_valid"])
+                        stage["neco"] = (time.perf_counter() - t0) * 1e3
+            else:
+                data = ldmk_jit(params, pyrd, sl, tl, cap, cap)
             key, sub = jax.random.split(key)
             # bucket-pad the solver inputs too: register_pair compiles per
             # (n_src, n_tgt) shape (~25 s each), so raw per-pair shapes mean
@@ -203,15 +271,21 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             fg_p[:ns] = pair.flow_gt
             ov_p = np.zeros(nb, bool)
             ov_p[:ns] = pair.overlap
+            t0 = time.perf_counter()
             mvec = reg_jit(sub, jnp.array(src_p), jnp.array(tgt_p),
                            jnp.array(sv), jnp.array(tv),
                            jnp.array(fg_p), jnp.array(ov_p),
                            data["ldmk_s"], data["ldmk_t"],
                            data["ldmk_valid"])
-            return pair, data, mvec
+            if stage_timers:
+                np.asarray(mvec)
+                stage["solve"] = (time.perf_counter() - t0) * 1e3
+                stage["rtt_post"] = _rtt_ms()
+            return pair, data, mvec, stage
 
         def harvest(item):
-            pair, data, mvec = item
+            pair, data, mvec, stage = item
+            t_h = time.perf_counter()
             # flow metrics arrive as ONE small device vector; matcher-side
             # metrics (IR/NRFMR) need only the [K,3] landmark arrays — the
             # host math runs on the local CPU backend (eager jnp ops on the
@@ -258,7 +332,15 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             for k2, v in row.items():
                 meters.setdefault(k2, AverageMeter()).update(v)
             n_done += 1
-            ledger_fw.write(json.dumps(dict(row, name=pair.name)) + "\n")
+            extra = {}
+            if stage:
+                stage["metrics"] = (time.perf_counter() - t_h) * 1e3
+                for k2, v in stage.items():
+                    stages_acc.setdefault(k2, []).append(v)
+                extra["stages_ms"] = {k2: round(v, 2)
+                                      for k2, v in stage.items()}
+            ledger_fw.write(json.dumps(dict(row, name=pair.name, **extra))
+                            + "\n")
             ledger_fw.flush()
             done_fw.write(pair.name + "\n")
             done_fw.flush()
@@ -293,7 +375,7 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             from ..utils.reporting import split_summary
 
             summary = split_summary("lndp_suite", split, stamps,
-                                    len(ds), dt)
+                                    len(ds), dt, stages_ms=stages_acc)
             print(summary)
             logger.write(summary + "\n")
         pool.shutdown(wait=False)
@@ -339,11 +421,33 @@ def main():
     ap.add_argument("--no-reject-outliers", dest="reject_outliers",
                     action="store_false",
                     help="force NeCo outlier rejection OFF (A/B knob)")
+    ap.add_argument("--inlier-thr", type=float, default=None,
+                    help="override the NeCo confidence threshold "
+                         "(reference configs/outlier_rejection.yaml / "
+                         "landmark_estimator.py:63-72 inlier_thr, shipped "
+                         "0.3; sweep knob for the filter operating point)")
+    ap.add_argument("--oracle-filter", action="store_true",
+                    help="replace NeCo with the GT inlier filter "
+                         "(outlier_rejection/loss.py:162-190 mask at 4 cm): "
+                         "the outlier-rejection CEILING — the gap between "
+                         "this and the NeCo run is NeCo's remaining "
+                         "headroom; the gap between this and zero error is "
+                         "coverage-bound (diagnostic only, uses GT)")
+    ap.add_argument("--stage-timers", action="store_true",
+                    help="instrumented mode: sync between matcher / NeCo / "
+                         "solver stages and record per-pair device-visible "
+                         "ms per stage plus tunnel round-trip probes "
+                         "(attributes wall cost; slower than the pipelined "
+                         "default — do not use for throughput artifacts)")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
     reject = (args.reject_outliers if args.reject_outliers is not None
               else cfg.get("reject_outliers", True))
+    if args.oracle_filter:
+        reject = False   # NeCo never runs; the GT filter replaces it
+    inlier_thr = (args.inlier_thr if args.inlier_thr is not None
+                  else cfg.get("inlier_thr", 0.3))
     max_matches = (args.max_matches if args.max_matches is not None
                    else cfg.get("max_matches")) or None
     ldmk_yaml = cfg.get("ldmk_config")
@@ -351,13 +455,13 @@ def main():
         from ..match.config_loader import landmark_config_from_yaml
 
         lcfg = landmark_config_from_yaml(
-            ldmk_yaml, inlier_thr=cfg.get("inlier_thr", 0.3),
+            ldmk_yaml, inlier_thr=inlier_thr,
             reject_outliers=reject,
             # default None = uncapped extraction (capacity follows the
             # coarse bucket); `max_matches: 256` restores the cap
             max_matches=max_matches)
     else:
-        lcfg = LandmarkConfig(inlier_thr=cfg.get("inlier_thr", 0.3),
+        lcfg = LandmarkConfig(inlier_thr=inlier_thr,
                               reject_outliers=reject)
     scfg = SolverConfig(
         pyramid=NDPConfig(m=cfg.get("m", 10), k0=cfg.get("k0", -8),
@@ -379,7 +483,8 @@ def main():
 
     run_eval(cfg, lcfg, params, scfg, args.splits, args.limit,
              stream_depth=args.depth, resume=args.resume,
-             log_dir=args.log_dir)
+             log_dir=args.log_dir, stage_timers=args.stage_timers,
+             oracle_filter=args.oracle_filter)
 
 
 if __name__ == "__main__":

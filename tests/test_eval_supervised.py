@@ -76,4 +76,34 @@ def test_run_eval_supervised_loop(tmp_path):
     assert len((tmp_path / "log" /
                 "4DMatch-F.pairs.jsonl").read_text().splitlines()) == 2
 
+    # --stage-timers instrumented mode: per-pair per-stage ms in the ledger
+    # and a stages_ms block in the suite summary JSON (VERDICT r4 #2/#5)
+    run_eval(cfg, lcfg, params, scfg, ["4DMatch-F"],
+             log_dir=str(tmp_path / "log_st"), stage_timers=True)
+    rows = [json.loads(ln) for ln in
+            (tmp_path / "log_st" /
+             "4DMatch-F.pairs.jsonl").read_text().splitlines()]
+    for row in rows:
+        for k in ("matcher", "neco", "solve", "metrics",
+                  "rtt_pre", "rtt_post"):
+            assert k in row["stages_ms"], k
+    summary = next(json.loads(l) for l in
+                   (tmp_path / "log_st" / "4DMatch-F.log")
+                   .read_text().splitlines() if l.startswith("{"))
+    assert "matcher" in summary["stages_ms"]
+    assert summary["stages_ms"]["solve"]["n"] == 2
+
+    # --oracle-filter: GT-inlier filtering replaces NeCo; with the GT
+    # filter the surviving landmark set is all-inlier, so IR == 1 whenever
+    # any landmark survives (or the set is empty on random weights)
+    run_eval(cfg, lcfg, params, scfg, ["4DMatch-F"],
+             log_dir=str(tmp_path / "log_or"), oracle_filter=True)
+    rows = [json.loads(ln) for ln in
+            (tmp_path / "log_or" /
+             "4DMatch-F.pairs.jsonl").read_text().splitlines()]
+    for row in rows:
+        assert row["n_landmarks"] <= row["n_matches_pre"]
+        if row["n_landmarks"] > 0:
+            assert row["IR"] == pytest.approx(1.0)
+
 
