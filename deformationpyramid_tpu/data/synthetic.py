@@ -52,7 +52,8 @@ def write_4dmatch_suite(root: str, split: str, n_pairs: int = 100,
                                                           15000, 28000),
                         seed: int = 0, partial: float = 0.85,
                         deform: float = 0.12,
-                        occlusion: str = "uniform") -> list[str]:
+                        occlusion: str = "uniform",
+                        rigid: bool = False) -> list[str]:
     """Fabricate a 4DMatch-format npz suite at realistic point counts.
 
     Emits the exact reference field layout (``_4dmatch.py:60-73``): rot /
@@ -86,7 +87,12 @@ def write_4dmatch_suite(root: str, split: str, n_pairs: int = 100,
         base = int(rng.choice(size_clusters))
         n = int(base * (1.0 + rng.uniform(-0.08, 0.08)))
         src, tgt_dense, flow = make_pair(n=n, seed=seed * 1000 + i,
-                                         deform=deform)
+                                         deform=0.0 if rigid else deform)
+        if rigid:
+            # 3DMatch-style rigid pairs in the 4DMatch npz layout: zero
+            # s2t_flow, all motion in (rot, trans) — lets train_matcher
+            # consume rigid data unchanged (VERDICT r4 #4 train path)
+            flow = np.zeros_like(flow)
         ang = float(rng.uniform(-0.2, 0.2))
         c, s = np.cos(ang), np.sin(ang)
         rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
@@ -117,6 +123,72 @@ def write_4dmatch_suite(root: str, split: str, n_pairs: int = 100,
                  metric_index=rng.permutation(n)[:500])
         paths.append(path)
     return paths
+
+
+def write_3dmatch_suite(root: str, split: str = "3DMatch", n_pairs: int = 20,
+                        n_scene: int = 9000, keep: float = 0.7,
+                        noise: float = 0.002, seed: int = 0) -> str:
+    """Fabricate a 3DMatch-style rigid fragment-pair suite.
+
+    Mirrors the reference info-file layout consumed by ``_3DMatch``
+    (``/root/reference/correspondence/datasets/_3dmatch.py``): an info npz
+    with rot [P,3,3] / trans [P,3,1] / src [P] / tgt [P] path arrays plus
+    per-pair ``gt_cov`` [P,6,6] covariances (identity here — the real
+    suite's covariances come from redwood-data; identity makes the
+    registration-recall error ``||(t, q_xyz)||^2`` in metric units), and
+    per-fragment ``.npy`` clouds. Each pair: one synthetic scene surface,
+    two spatially-coherent half-space crops (fragments) with ``keep``
+    fraction each, the target fragment moved by a random SE(3) so
+    ``R @ src + t`` aligns it — the convention ``ThreeDMatchDataset``
+    (and the reference ``:92``) expects.
+
+    Returns the info-file path (``root/split/test_info.npz``).
+    """
+    import os
+
+    rng = np.random.default_rng(seed)
+    frag_dir = os.path.join(root, split, "frags")
+    os.makedirs(frag_dir, exist_ok=True)
+    rots, transs, src_paths, tgt_paths, covs = [], [], [], [], []
+    for i in range(n_pairs):
+        scene, _, _ = make_pair(n=n_scene, seed=seed * 500 + i, deform=0.0)
+        n_keep = int(n_scene * keep)
+        # two coherent half-space crops with guaranteed overlap: opposite
+        # quantile cuts along nearby directions keep the middle band shared
+        d1 = rng.normal(size=3)
+        d1 /= np.linalg.norm(d1)
+        d2 = -d1 + 0.3 * rng.normal(size=3)
+        d2 /= np.linalg.norm(d2)
+        src = scene[np.argsort(scene @ d1)[:n_keep]]
+        frag_b = scene[np.argsort(scene @ d2)[:n_keep]]
+        # random SE(3): moderate rotation (axis-angle <= ~0.6 rad) like
+        # adjacent scan poses; tgt lives in its own frame
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        ang = rng.uniform(0.1, 0.6)
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        rot = (np.eye(3) + np.sin(ang) * K
+               + (1 - np.cos(ang)) * (K @ K)).astype(np.float32)
+        trans = rng.uniform(-0.3, 0.3, (3, 1)).astype(np.float32)
+        tgt = (rot @ frag_b.T + trans).T.astype(np.float32)
+        src = (src + rng.normal(scale=noise, size=src.shape)).astype(np.float32)
+        tgt = (tgt + rng.normal(scale=noise, size=tgt.shape)).astype(np.float32)
+        sp = os.path.join(split, "frags", f"pair{i:03d}_src.npy")
+        tp = os.path.join(split, "frags", f"pair{i:03d}_tgt.npy")
+        np.save(os.path.join(root, sp), src)
+        np.save(os.path.join(root, tp), tgt)
+        rots.append(rot)
+        transs.append(trans)
+        src_paths.append(sp)
+        tgt_paths.append(tp)
+        covs.append(np.eye(6, dtype=np.float32) * n_keep)
+    info_path = os.path.join(root, split, "test_info.npz")
+    np.savez(info_path, rot=np.stack(rots), trans=np.stack(transs),
+             src=np.array(src_paths), tgt=np.array(tgt_paths),
+             gt_cov=np.stack(covs))
+    return info_path
 
 
 def write_multiview_suite(root: str, split: str, n_seqs: int = 4,

@@ -57,7 +57,21 @@ def main(root: str = "data/split") -> None:
     n += len(write_4dmatch_suite(root, "val-occ-b", n_pairs=8,
                                  size_clusters=(6000,), seed=13,
                                  partial=0.40, occlusion="coherent"))
-    print(f"wrote {n} pairs under {root}/")
+    # 3DMatch path (VERDICT r4 #4): rigid training pairs in the 4DMatch
+    # layout (train_matcher consumes them unchanged) + a 3DMatch-format
+    # rigid fragment suite for the RANSAC registration-recall eval
+    n += len(write_4dmatch_suite(root, "train-3dm", n_pairs=32,
+                                 size_clusters=(6000,), seed=21,
+                                 partial=0.70, occlusion="coherent",
+                                 rigid=True))
+    n += len(write_4dmatch_suite(root, "val-3dm", n_pairs=8,
+                                 size_clusters=(6000,), seed=22,
+                                 partial=0.70, occlusion="coherent",
+                                 rigid=True))
+    from deformationpyramid_tpu.data.synthetic import write_3dmatch_suite
+
+    info = write_3dmatch_suite(root, "3DMatch", n_pairs=20, seed=23)
+    print(f"wrote {n} pairs under {root}/ + 3DMatch info {info}")
 
 
 if __name__ == "__main__":
