@@ -30,6 +30,12 @@ MODE = sys.argv[2] if len(sys.argv) > 2 else "auto"
 
 N_PAIRS = int(os.environ.get("PARITY_PAIRS", "8"))
 N_SEEDS = int(os.environ.get("PARITY_SEEDS", "2"))
+# ours cells cost ~0.15 s/pair on-chip vs ~370 s/cell for torch ref, so the
+# ours side can run many more seeds per pair for free — the paired estimator
+# d_p = mean_s ours(p,s) - mean_s ref(p,s) is valid with asymmetric seed
+# counts, and extra ours seeds shrink the ours-side noise term of var(d_p)
+# (round-5 power fix: fused CI +-0.165 -> target <= +-0.098 cm).
+N_SEEDS_OURS = int(os.environ.get("PARITY_SEEDS_OURS", str(N_SEEDS)))
 N_PTS = 2000
 # Production-default path (VERDICT r3 weak #1): ours runs the two-kernel
 # fused iteration unless PARITY_FUSED=0. Ref rows are fusion-agnostic, so a
@@ -78,7 +84,7 @@ def summarize(rows):
     print(f"running: ref {mr*100:.3f} cm ({len(ref)} runs), "
           f"ours {mo*100:.3f} cm ({len(ours)} runs), "
           f"gap {abs(mo-mr)/mr*100:.2f}%", flush=True)
-    if len(ref) == N_PAIRS * N_SEEDS and len(ours) == N_PAIRS * N_SEEDS:
+    if len(ref) >= N_PAIRS * N_SEEDS and len(ours) >= N_PAIRS * N_SEEDS_OURS:
         diffs = []
         for p in range(N_PAIRS):
             rp = [r["epe"] for r in rows
@@ -119,7 +125,7 @@ def run_ours(rows):
 
     done = {(r["pair"], r["seed"]) for r in rows
             if r["kind"] == "ours" and bool(r.get("fused")) == FUSED}
-    todo = [(p, s) for p in range(N_PAIRS) for s in range(N_SEEDS)
+    todo = [(p, s) for p in range(N_PAIRS) for s in range(N_SEEDS_OURS)
             if (p, s) not in done]
     if not todo:
         return rows
@@ -172,7 +178,7 @@ def main():
     rows = load_rows()
     ours_missing = len([r for r in rows if r["kind"] == "ours"
                         and bool(r.get("fused")) == FUSED]) \
-        < N_PAIRS * N_SEEDS
+        < N_PAIRS * N_SEEDS_OURS
     if MODE == "ours" or (MODE == "auto" and ours_missing):
         rows = run_ours(rows)
     elif MODE in ("ref", "auto"):
