@@ -41,7 +41,8 @@ from ..utils.logging import AverageMeter, Logger, write_run_provenance
 def run_eval_3dmatch(lcfg: LandmarkConfig, params, ds: ThreeDMatchDataset,
                      gt_covs, log_dir: str = "snapshot/threedmatch",
                      ransac_iters: int = 5000, ransac_thr: float = 0.05,
-                     recall_thr: float = 0.2 ** 2, seed: int = 0) -> dict:
+                     recall_thr: float = 0.2 ** 2, seed: int = 0,
+                     visualize: bool = False) -> dict:
     """Evaluate matcher-driven rigid registration over a 3DMatch dataset.
 
     Returns the aggregate metrics dict (registration_recall, IR, RRE, RTE).
@@ -115,6 +116,21 @@ def run_eval_3dmatch(lcfg: LandmarkConfig, params, ds: ThreeDMatchDataset,
         rre = float(np.degrees(np.arccos(cos_a)))
         rte = float(np.linalg.norm(t - pair.trans.reshape(3)))
 
+        if visualize and len(ldmk_s):
+            from ..utils.vis import (export_correspondences_ply,
+                                     visualize_correspondences)
+
+            vdir = os.path.join(log_dir, "vis")
+            os.makedirs(vdir, exist_ok=True)
+            base = os.path.join(
+                vdir, os.path.basename(pair.name).replace("/", "_"))
+            gt_inl = np.linalg.norm(warped - ldmk_t, axis=1) < 0.04
+            visualize_correspondences(ldmk_s, ldmk_t, inlier=gt_inl,
+                                      src_pcd=pair.src, tgt_pcd=pair.tgt,
+                                      save_path=base + "_corr.png")
+            export_correspondences_ply(base + "_corr.ply", ldmk_s, ldmk_t,
+                                       inlier=gt_inl)
+
         row = {"recall_ok": float(err < recall_thr), "trans_err": float(err),
                "IR": ir, "RRE_deg": rre, "RTE": rte,
                "n_matches": float(ldmk_valid.sum()),
@@ -159,6 +175,9 @@ def main():
                     action="store_true", default=None)
     ap.add_argument("--no-reject-outliers", dest="reject_outliers",
                     action="store_false")
+    ap.add_argument("--visualize", action="store_true",
+                    help="save per-pair correspondence renders (GT-inlier "
+                         "colored PNG + edge PLY) under <log-dir>/vis/")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -192,7 +211,7 @@ def main():
 
     run_eval_3dmatch(lcfg, params, ds, gt_covs, log_dir=args.log_dir,
                      ransac_iters=args.ransac_iters,
-                     ransac_thr=args.ransac_thr)
+                     ransac_thr=args.ransac_thr, visualize=args.visualize)
 
 
 if __name__ == "__main__":

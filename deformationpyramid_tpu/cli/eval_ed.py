@@ -51,7 +51,8 @@ def _nearest_indices(query: np.ndarray, pts: np.ndarray,
     return out
 
 
-def evaluate_pair_ed(pair, cfg, scfg: EDSolverConfig, key, landmark_fn=None):
+def evaluate_pair_ed(pair, cfg, scfg: EDSolverConfig, key, landmark_fn=None,
+                     vis_dir: str | None = None):
     """Returns (flow, flow_gt, overlap) on the valid evaluated points.
 
     ``landmark_fn(src_pts, tgt_pts) -> (ldmk_s, ldmk_t, valid)`` enables the
@@ -70,6 +71,19 @@ def evaluate_pair_ed(pair, cfg, scfg: EDSolverConfig, key, landmark_fn=None):
         n_max_neighbors=cfg.get("num_neighbors", 8),
         remove_sparse_nodes=cfg.get(
             "REMOVE_NODES_WITH_NOT_ENOUGH_NEIGHBORS", True))
+
+    if vis_dir is not None:
+        # deformation-graph render (nodes + kNN edges over the eroded
+        # source surface), PNG + edge PLY — the ED-path debugging view
+        # (reference utils/vis.py node_o3d_spheres + graph draws)
+        from ..utils.vis import export_graph_ply, visualize_graph
+
+        os.makedirs(vis_dir, exist_ok=True)
+        base = os.path.join(vis_dir, pair.name.replace("/", "_"))
+        visualize_graph(g.nodes, g.edges, edges_valid=g.edges_valid,
+                        pcd=g.vertices, save_path=base + "_graph.png")
+        export_graph_ply(base + "_graph.ply", g.nodes, g.edges,
+                         edges_valid=g.edges_valid)
 
     tgt_pc_img = depth_to_pointcloud(tgt_depth, K)
     tgt_mask = tgt_depth > 0
@@ -166,6 +180,10 @@ def main():
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--weights", default=None,
                     help="npz checkpoint of the landmark model")
+    ap.add_argument("--visualize", action="store_true",
+                    help="save per-pair deformation-graph renders "
+                         "(PNG + edge PLY) under <log-dir>/vis/")
+    ap.add_argument("--log-dir", default="snapshot/ed")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -193,8 +211,10 @@ def main():
                 continue
             key, sub = jax.random.split(key)
             timers.tic("graph+registration")
-            flow, flow_gt, overlap = evaluate_pair_ed(pair, cfg, scfg, sub,
-                                                      landmark_fn=landmark_fn)
+            flow, flow_gt, overlap = evaluate_pair_ed(
+                pair, cfg, scfg, sub, landmark_fn=landmark_fn,
+                vis_dir=(os.path.join(args.log_dir, "vis")
+                         if args.visualize else None))
             timers.toc("graph+registration")
             m = compute_flow_metrics(jnp.array(flow), jnp.array(flow_gt),
                                      overlap=jnp.array(overlap))

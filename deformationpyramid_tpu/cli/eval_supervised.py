@@ -60,7 +60,8 @@ def interp_flow(query_pts: np.ndarray, pair) -> np.ndarray:
 def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
              splits, batch_limit=None, seed=0, log_dir="snapshot/lndp",
              stream_depth: int = 4, resume: bool = False,
-             stage_timers: bool = False, oracle_filter: bool = False):
+             stage_timers: bool = False, oracle_filter: bool = False,
+             visualize: bool = False):
     import json
 
     timers = Timers()
@@ -327,6 +328,28 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
                         jnp.array(ldmk_s), jnp.array(ldmk_t),
                         jnp.array(ldmk_valid),
                         jnp.array(pair.src[mi]), jnp.array(pair.flow_gt[mi])))
+            if visualize and ldmk_valid.any():
+                # correspondence-line render, NeCo-confidence colored PNG +
+                # GT-inlier colored edge PLY (reference debugging parity:
+                # utils/vis.py correspondence toggles)
+                from ..utils.vis import (export_correspondences_ply,
+                                         visualize_correspondences)
+
+                vdir = os.path.join(log_dir, "vis")
+                os.makedirs(vdir, exist_ok=True)
+                sel = ldmk_valid.astype(bool)
+                conf = np.asarray(data["neco_confidence"])[sel]
+                warped = ((pair.rot @ (ldmk_s[sel] + ldmk_flow_gt[sel]).T).T
+                          + pair.trans.reshape(3))
+                inl = np.linalg.norm(warped - ldmk_t[sel], axis=1) < 0.04
+                base = pair.name.replace("/", "_")
+                visualize_correspondences(
+                    ldmk_s[sel], ldmk_t[sel], confidence=conf,
+                    src_pcd=pair.src, tgt_pcd=pair.tgt,
+                    save_path=os.path.join(vdir, base + "_corr.png"))
+                export_correspondences_ply(
+                    os.path.join(vdir, base + "_corr.ply"),
+                    ldmk_s[sel], ldmk_t[sel], inlier=inl)
             nonlocal n_done
             row = {k2: float(v) for k2, v in m.items()}
             for k2, v in row.items():
@@ -433,6 +456,11 @@ def main():
                          "this and the NeCo run is NeCo's remaining "
                          "headroom; the gap between this and zero error is "
                          "coverage-bound (diagnostic only, uses GT)")
+    ap.add_argument("--visualize", action="store_true",
+                    help="save per-pair correspondence-line renders "
+                         "(NeCo-confidence PNG + GT-inlier edge PLY) under "
+                         "<log-dir>/vis/ (reference utils/vis.py "
+                         "correspondence viewer, headless)")
     ap.add_argument("--stage-timers", action="store_true",
                     help="instrumented mode: sync between matcher / NeCo / "
                          "solver stages and record per-pair device-visible "
@@ -484,7 +512,7 @@ def main():
     run_eval(cfg, lcfg, params, scfg, args.splits, args.limit,
              stream_depth=args.depth, resume=args.resume,
              log_dir=args.log_dir, stage_timers=args.stage_timers,
-             oracle_filter=args.oracle_filter)
+             oracle_filter=args.oracle_filter, visualize=args.visualize)
 
 
 if __name__ == "__main__":

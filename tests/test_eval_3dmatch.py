@@ -67,7 +67,7 @@ def test_eval_3dmatch_loop(tmp_path):
 
     summary = run_eval_3dmatch(lcfg, params, ds, gt_covs,
                                log_dir=str(tmp_path / "log"),
-                               ransac_iters=200)
+                               ransac_iters=200, visualize=True)
     assert summary["metric"] == "threedmatch_recall"
     assert summary["pairs"] == 2
     assert 0.0 <= summary["value"] <= 1.0
@@ -79,3 +79,9 @@ def test_eval_3dmatch_loop(tmp_path):
         for k in ("recall_ok", "trans_err", "IR", "RRE_deg", "RTE",
                   "n_matches", "ransac_inliers"):
             assert k in row, k
+    # --visualize artifacts: one correspondence PNG + PLY per pair with
+    # surviving matches
+    n_with = sum(1 for row in rows if row["n_matches"] > 0)
+    vis = tmp_path / "log" / "vis"
+    assert len(list(vis.glob("*_corr.png"))) == n_with
+    assert len(list(vis.glob("*_corr.ply"))) == n_with

@@ -42,10 +42,15 @@ def test_evaluate_pair_ed_synthetic(tmp_path):
                     "num_neighbors": 6})
     scfg = EDSolverConfig(iters=60, samples=256, use_pallas=False)
     flow, flow_gt, overlap = evaluate_pair_ed(pair, cfg, scfg,
-                                              jax.random.key(0))
+                                              jax.random.key(0),
+                                              vis_dir=str(tmp_path / "vis"))
     assert len(flow) > 100
     assert np.isfinite(flow).all()
     assert flow.shape == flow_gt.shape == (len(overlap), 3)
+    # --visualize artifact: deformation-graph PNG + edge PLY
+    assert (tmp_path / "vis" / "_graph.png").stat().st_size > 1000
+    hdr = (tmp_path / "vis" / "_graph.ply").read_text().split("end_header")[0]
+    assert "element edge" in hdr and "element vertex" in hdr
 
 
 def test_evaluate_pair_ed_with_landmarks(tmp_path):

@@ -96,8 +96,10 @@ def test_run_eval_supervised_loop(tmp_path):
     # --oracle-filter: GT-inlier filtering replaces NeCo; with the GT
     # filter the surviving landmark set is all-inlier, so IR == 1 whenever
     # any landmark survives (or the set is empty on random weights)
+    # (+ --visualize: one correspondence PNG + edge PLY per pair)
     run_eval(cfg, lcfg, params, scfg, ["4DMatch-F"],
-             log_dir=str(tmp_path / "log_or"), oracle_filter=True)
+             log_dir=str(tmp_path / "log_or"), oracle_filter=True,
+             visualize=True)
     rows = [json.loads(ln) for ln in
             (tmp_path / "log_or" /
              "4DMatch-F.pairs.jsonl").read_text().splitlines()]
@@ -105,5 +107,9 @@ def test_run_eval_supervised_loop(tmp_path):
         assert row["n_landmarks"] <= row["n_matches_pre"]
         if row["n_landmarks"] > 0:
             assert row["IR"] == pytest.approx(1.0)
+    n_with_ldmk = sum(1 for row in rows if row["n_landmarks"] > 0)
+    vis = tmp_path / "log_or" / "vis"
+    assert len(list(vis.glob("*_corr.png"))) == n_with_ldmk
+    assert len(list(vis.glob("*_corr.ply"))) == n_with_ldmk
 
 
