@@ -69,17 +69,7 @@ def run_eval_3dmatch(lcfg: LandmarkConfig, params, ds: ThreeDMatchDataset,
     for i in range(len(ds)):
         pair = ds[i]
         pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
-                                 KPFCN_ARCHITECTURE, limits)
-
-        def pow2(n, minimum=512):
-            b = minimum
-            while b < n:
-                b *= 2
-            return b
-
-        pad = [pow2(len(p)) for p in pyr.points]
-        pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
-                                 KPFCN_ARCHITECTURE, limits, pad_to=pad)
+                                 KPFCN_ARCHITECTURE, limits, pad_to="pow2")
         pyrd = {"points": [jnp.array(p) for p in pyr.points],
                 "valids": [jnp.array(v) for v in pyr.valids],
                 "neighbors": [jnp.array(x) for x in pyr.neighbors],

@@ -58,10 +58,8 @@ def make_matcher_batch_stream(ds: FourDMatchDataset, lcfg: LandmarkConfig,
     def build(i):
             pair = ds[i]
             pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
-                                     KPFCN_ARCHITECTURE, limits)
-            pad = [_pow2(len(p)) for p in pyr.points]
-            pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
-                                     KPFCN_ARCHITECTURE, limits, pad_to=pad)
+                                     KPFCN_ARCHITECTURE, limits,
+                                     pad_to="pow2")
             s_len = pyr.src_lengths[cl]
             t_len = pyr.tgt_lengths[cl]
             cap = _pow2(max(s_len, t_len))

@@ -56,10 +56,8 @@ def make_batch_stream(ds: FourDMatchDataset, lcfg: LandmarkConfig, limits):
         for i in range(len(ds)):
             pair = ds[i]
             pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
-                                     KPFCN_ARCHITECTURE, limits)
-            pad = [_pow2(len(p)) for p in pyr.points]
-            pyr = build_pair_pyramid(pair.src, pair.tgt, lcfg.matcher.kpfcn,
-                                     KPFCN_ARCHITECTURE, limits, pad_to=pad)
+                                     KPFCN_ARCHITECTURE, limits,
+                                     pad_to="pow2")
             s_len = pyr.src_lengths[cl]
             # symmetric pow2 coarse cap: the frozen matcher forward other-
             # wise pads both clouds to the full stacked coarse size

@@ -79,6 +79,39 @@ def test_radius_search_shadow_and_order():
     assert idx[0, 0] == 0 and idx[0, 1] == 2 and idx[0, 2] == 3
 
 
+def test_pyramid_pow2_pad_equals_explicit_rebuild():
+    """pad_to="pow2" must be byte-identical to the former two-pass idiom
+    (build unpadded to measure level sizes, rebuild with explicit pow2
+    pads) — it replaces that idiom at every CLI call site with ONE native
+    collate pass."""
+    cfg = small_matcher_cfg()
+    src, tgt, _ = make_pair(n=700, seed=3, deform=0.05)
+    limits = calibrate_neighborhood_limits([(src, tgt)], cfg.kpfcn,
+                                           KPFCN_ARCHITECTURE)
+    raw = build_pair_pyramid(src, tgt, cfg.kpfcn, KPFCN_ARCHITECTURE, limits)
+
+    def pow2(n, minimum=512):
+        b = minimum
+        while b < n:
+            b *= 2
+        return b
+
+    pads = [pow2(len(p)) for p in raw.points]
+    two_pass = build_pair_pyramid(src, tgt, cfg.kpfcn, KPFCN_ARCHITECTURE,
+                                  limits, pad_to=pads)
+    one_pass = build_pair_pyramid(src, tgt, cfg.kpfcn, KPFCN_ARCHITECTURE,
+                                  limits, pad_to="pow2")
+    assert one_pass.src_lengths == two_pass.src_lengths
+    assert one_pass.tgt_lengths == two_pass.tgt_lengths
+    for a, b in zip(one_pass.points, two_pass.points):
+        assert a.shape == b.shape and np.array_equal(a, b)
+        assert (len(a) & (len(a) - 1)) == 0 and len(a) >= 512  # pow2 bucket
+    for field in ("valids", "neighbors", "pools", "upsamples"):
+        for a, b in zip(getattr(one_pass, field), getattr(two_pass, field)):
+            assert np.array_equal(a, b), field
+    assert np.array_equal(one_pass.features, two_pass.features)
+
+
 # ---------------- position encoding ----------------
 
 def test_rotary_preserves_norm_and_inner_product_shift():
