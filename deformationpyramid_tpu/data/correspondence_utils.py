@@ -11,10 +11,21 @@ import numpy as np
 
 
 def knn_point_np(k: int, reference_pts: np.ndarray, query_pts: np.ndarray):
-    """kNN of query in reference; returns (dists [Q,k], idx [Q,k])."""
-    d = np.linalg.norm(query_pts[:, None] - reference_pts[None], axis=-1)
-    idx = np.argsort(d, axis=1)[:, :k]
-    return np.take_along_axis(d, idx, axis=1), idx
+    """kNN of query in reference; returns (dists [Q,k], idx [Q,k]).
+
+    cKDTree query, O(Q log N): the dense [Q, N] matrix this replaces
+    (reference ``model/geometry.py:392-410`` does exactly that in numpy)
+    allocated ~450 MB and full-argsorted 28k-wide rows at suite scale —
+    the eval harvest calls this 2x per pair via ``blend_scene_flow``.
+    Exact-tie neighbor ORDER may differ from the dense argsort, but the
+    IDW consumer weights equal distances equally, so blends are
+    unaffected."""
+    from scipy.spatial import cKDTree
+
+    dists, idx = cKDTree(reference_pts).query(query_pts, k=k)
+    if k == 1:
+        dists, idx = dists[:, None], idx[:, None]
+    return dists, idx
 
 
 def mutual_nn_correspondence(src_warped: np.ndarray, tgt: np.ndarray,
