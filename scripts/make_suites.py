@@ -57,6 +57,13 @@ def main(root: str = "data/split") -> None:
     n += len(write_4dmatch_suite(root, "val-occ-b", n_pairs=8,
                                  size_clusters=(6000,), seed=13,
                                  partial=0.40, occlusion="coherent"))
+    # train-occ-c — matcher fine-tune split AT THE EVAL REGIME (partial
+    # 0.40, coherent; VERDICT r4 weak #4: the r4 fine-tune ran at 0.55
+    # while eval is 0.40). Fresh seed, disjoint from train-occ-b so NeCo's
+    # training split stays held-out w.r.t. this matcher.
+    n += len(write_4dmatch_suite(root, "train-occ-c", n_pairs=32,
+                                 size_clusters=(6000,), seed=14,
+                                 partial=0.40, occlusion="coherent"))
     # 3DMatch path (VERDICT r4 #4): rigid training pairs in the 4DMatch
     # layout (train_matcher consumes them unchanged) + a 3DMatch-format
     # rigid fragment suite for the RANSAC registration-recall eval

@@ -11,12 +11,13 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 LEDGER=${1:-snapshot/full_parity_r5.jsonl}
 MAX=${2:-40}
+SEEDS=${3:-4}   # ref seeds per pair (session 2: 8 — CI ±0.148 → proj ±0.056)
 LOG=snapshot/onchip_r5/parity_ref.log
 mkdir -p snapshot/onchip_r5
 
 for i in $(seq 1 "$MAX"); do
   echo "=== ref cell $i start $(date -u +%H:%M:%SZ) ===" >> "$LOG"
-  out=$(PARITY_PAIRS=16 PARITY_SEEDS=4 PARITY_SEEDS_OURS=16 \
+  out=$(PARITY_PAIRS=16 PARITY_SEEDS="$SEEDS" PARITY_SEEDS_OURS=16 \
         nice -n19 timeout 3000 python scripts/run_full_parity.py \
         "$LEDGER" ref 2>&1)
   rc=$?
