@@ -191,6 +191,70 @@ def write_3dmatch_suite(root: str, split: str = "3DMatch", n_pairs: int = 20,
     return info_path
 
 
+def write_3dmatch_train_suite(root: str, split: str, n_pairs: int = 32,
+                              n_scene: int = 9000, keep: float = 0.7,
+                              noise: float = 0.002, seed: int = 0) -> list[str]:
+    """3DMatch-REGIME rigid pairs in the 4DMatch npz layout.
+
+    The round-5 3DMatch e2e eval exposed a train/eval regime mismatch:
+    ``write_4dmatch_suite(rigid=True)`` (the original ``train-3dm``) draws
+    z-only rotations <=0.2 rad with a single-sided target crop, while the
+    ``write_3dmatch_suite`` eval fragments carry arbitrary-axis rotations
+    of 0.1-0.6 rad, DOUBLE-sided half-space crops (both fragments are
+    partial), and measurement noise — fine-tuned there, the matcher scored
+    IR 0.120 / recall 0.65. This writer emits training pairs from the SAME
+    generative process as the eval suite (fragment construction mirrors
+    ``write_3dmatch_suite``; reference dataset convention
+    ``/root/reference/correspondence/datasets/_3dmatch.py:92``
+    ``R @ src + t = tgt``) so ``train_matcher`` — which derives GT labels
+    by rot/trans/flow GT-warp + coarse mutual-NN — trains at the eval
+    regime. Correspondences are the exact fragment-overlap index map
+    (shared scene points), flow is zero (rigid).
+    """
+    import os
+
+    rng = np.random.default_rng(seed)
+    out_dir = os.path.join(root, split, "seq0")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(n_pairs):
+        scene, _, _ = make_pair(n=n_scene, seed=seed * 700 + i, deform=0.0)
+        n_keep = int(n_scene * keep)
+        d1 = rng.normal(size=3)
+        d1 /= np.linalg.norm(d1)
+        d2 = -d1 + 0.3 * rng.normal(size=3)
+        d2 /= np.linalg.norm(d2)
+        src_idx = np.argsort(scene @ d1)[:n_keep]
+        tgt_idx = np.argsort(scene @ d2)[:n_keep]
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        ang = rng.uniform(0.1, 0.6)
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        rot = (np.eye(3) + np.sin(ang) * K
+               + (1 - np.cos(ang)) * (K @ K)).astype(np.float32)
+        trans = rng.uniform(-0.3, 0.3, (3, 1)).astype(np.float32)
+        src = (scene[src_idx]
+               + rng.normal(scale=noise, size=(n_keep, 3))).astype(np.float32)
+        tgt = ((rot @ scene[tgt_idx].T + trans).T
+               + rng.normal(scale=noise, size=(n_keep, 3))).astype(np.float32)
+        # overlap correspondences: positions of shared scene points in each
+        # fragment's row order
+        pos_in_tgt = np.full(n_scene, -1, np.int64)
+        pos_in_tgt[tgt_idx] = np.arange(n_keep)
+        shared = pos_in_tgt[src_idx] >= 0
+        corr = np.stack([np.nonzero(shared)[0],
+                         pos_in_tgt[src_idx[shared]]], 1)
+        path = os.path.join(out_dir, f"pair{i:04d}.npz")
+        np.savez(path, rot=rot, trans=trans,
+                 s2t_flow=np.zeros((n_keep, 3), np.float32), s_pc=src,
+                 t_pc=tgt, correspondences=corr,
+                 metric_index=rng.permutation(n_keep)[:500])
+        paths.append(path)
+    return paths
+
+
 def write_multiview_suite(root: str, split: str, n_seqs: int = 4,
                           n_views: int = 4, n_pts: int = 500,
                           deform: float = 0.1, seed: int = 0) -> list[str]:

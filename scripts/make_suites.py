@@ -75,8 +75,25 @@ def main(root: str = "data/split") -> None:
                                  size_clusters=(6000,), seed=22,
                                  partial=0.70, occlusion="coherent",
                                  rigid=True))
-    from deformationpyramid_tpu.data.synthetic import write_3dmatch_suite
+    from deformationpyramid_tpu.data.synthetic import (
+        write_3dmatch_suite, write_3dmatch_train_suite)
 
+    # train-3dm-b — 3DMatch fine-tune split AT THE EVAL REGIME (same
+    # fragment generative process as the 3DMatch eval suite: double-sided
+    # half-space crops, arbitrary-axis rotations 0.1-0.6 rad, noise 2 mm;
+    # the original train-3dm's z-only <=0.2 rad single-crop regime left the
+    # matcher OOD at eval — IR 0.120, recall 0.65). Seeds disjoint from the
+    # eval suite's 23.
+    n += len(write_3dmatch_train_suite(root, "train-3dm-b", n_pairs=32,
+                                       seed=24))
+    n += len(write_3dmatch_train_suite(root, "val-3dm-b", n_pairs=8,
+                                       seed=25))
+    # train-3dm-c — disjoint NeCo training split under the regime-matched
+    # matcher (mirrors the occ path's train-occ-b/train-occ-c separation:
+    # NeCo must see match distributions from pairs the matcher did NOT
+    # train on, else its training inputs are unrealistically clean)
+    n += len(write_3dmatch_train_suite(root, "train-3dm-c", n_pairs=32,
+                                       seed=26))
     info = write_3dmatch_suite(root, "3DMatch", n_pairs=20, seed=23)
     print(f"wrote {n} pairs under {root}/ + 3DMatch info {info}")
 

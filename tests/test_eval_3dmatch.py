@@ -44,6 +44,43 @@ def test_write_3dmatch_suite_layout(tmp_path):
         assert np.linalg.det(pair.rot) > 0.99
 
 
+def test_write_3dmatch_train_suite_regime(tmp_path):
+    """The eval-regime training writer: 4DMatch layout, exact GT convention
+    on the overlap correspondences, arbitrary-axis rotations in the eval
+    suite's 0.1-0.6 rad range (vs train-3dm's z-only <=0.2)."""
+    from deformationpyramid_tpu.data.fourdmatch import FourDMatchDataset
+    from deformationpyramid_tpu.data.synthetic import write_3dmatch_train_suite
+
+    paths = write_3dmatch_train_suite(str(tmp_path), "train-3dm-b",
+                                      n_pairs=4, n_scene=600, noise=0.002,
+                                      seed=9)
+    assert len(paths) == 4
+    ds = FourDMatchDataset(str(tmp_path), "train-3dm-b")
+    assert len(ds) == 4
+    angles, off_z = [], []
+    for i in range(4):
+        with np.load(paths[i]) as z:
+            corr = z["correspondences"]
+            rot, trans = z["rot"], z["trans"]
+            src, tgt, flow = z["s_pc"], z["t_pc"], z["s2t_flow"]
+        assert flow.shape == src.shape and not flow.any()  # rigid
+        # double-sided crops still overlap
+        assert 50 < len(corr) < len(src)
+        # GT convention R(Ps+flow)+t = Pt holds on the overlap up to the
+        # 2 mm noise on both sides
+        warped = src[corr[:, 0]] @ rot.T + trans.reshape(3)
+        err = np.linalg.norm(warped - tgt[corr[:, 1]], axis=1)
+        assert err.max() < 0.02, err.max()
+        np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-5)
+        ang = np.arccos(np.clip((np.trace(rot) - 1) / 2, -1, 1))
+        angles.append(ang)
+        # arbitrary axis: rotation moves the z direction for generic draws
+        off_z.append(abs(rot[2, 2] - 1.0))
+    assert max(angles) > 0.25          # beyond train-3dm's 0.2 cap
+    assert all(a <= 0.6 + 1e-6 for a in angles)
+    assert max(off_z) > 1e-3           # not z-only
+
+
 def test_eval_3dmatch_loop(tmp_path):
     from deformationpyramid_tpu.cli.eval_3dmatch import run_eval_3dmatch
 
