@@ -45,16 +45,24 @@ from .eval_nolearned import _fused_iter_default, _metric_device
 # unique compile: 12 pairs took 24 min, ~95% compiles).
 
 
-def interp_flow(query_pts: np.ndarray, pair) -> np.ndarray:
-    """Deformation-only flow at arbitrary points via kNN blending of the
-    pair's per-point flow (the IR definition wants R(Ps+flow)+t vs ldmk_t;
-    flow_gt stores the composed motion, so invert the rigid part)."""
-    from ..data.correspondence_utils import blend_scene_flow
+def make_flow_interp(pair):
+    """Deformation-only flow interpolator for a pair: kNN-IDW blend of the
+    per-point flow (the IR definition wants R(Ps+flow)+t vs ldmk_t;
+    flow_gt stores the composed motion, so invert the rigid part). Returns
+    a callable reusable across query sets — the anchor cKDTree is built
+    ONCE per pair (the harvest queries it for both the filtered landmarks
+    and the raw pre-NeCo matches)."""
+    from ..data.correspondence_utils import SceneFlowInterp
 
     # flow_def = R^-1 (flow_gt + Ps - t) - Ps
     flow_def = (pair.rot.T @ (pair.flow_gt + pair.src
                               - pair.trans.T).T).T - pair.src
-    return blend_scene_flow(query_pts, pair.src, flow_def.astype(np.float32))
+    return SceneFlowInterp(pair.src, flow_def.astype(np.float32))
+
+
+def interp_flow(query_pts: np.ndarray, pair) -> np.ndarray:
+    """One-shot ``make_flow_interp`` (kept for external probes/harnesses)."""
+    return make_flow_interp(pair)(query_pts)
 
 
 def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
@@ -110,6 +118,15 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
         return jnp.stack([m[k2] for k2 in METRIC_KEYS])
 
     reg_jit = jax.jit(_reg_metrics)
+
+    # jitted host-side matcher metrics (CPU device at call time via
+    # jax.default_device in harvest): inputs are shape-bucketed, so these
+    # compile a handful of times and then run sub-ms vs ~46 ms/pair eager
+    from ..metrics.matching import inlier_ratio, nrfmr
+
+    ir_jit = jax.jit(inlier_ratio)
+    nrfmr_jit = jax.jit(lambda ls, lt, lv, mp, mf, mv: nrfmr(
+        ls, lt, lv, mp, mf, metric_valid=mv))
 
     for split in splits:
         ds = FourDMatchDataset(cfg.data_root, split)
@@ -284,22 +301,22 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
             # metrics (IR/NRFMR) need only the [K,3] landmark arrays — the
             # host math runs on the local CPU backend (eager jnp ops on the
             # tunneled TPU are remote dispatches, seconds each)
-            from ..metrics.matching import inlier_ratio, nrfmr
-
             m = dict(zip(METRIC_KEYS, (float(v) for v in np.asarray(mvec))))
             ldmk_s = np.asarray(data["ldmk_s"])
             ldmk_t = np.asarray(data["ldmk_t"])
             ldmk_valid = np.asarray(data["ldmk_valid"])
-            ldmk_flow_gt = interp_flow(ldmk_s, pair)
+            interp = make_flow_interp(pair)  # one cKDTree, two query sets
+            ldmk_flow_gt = interp(ldmk_s)
             with jax.default_device(_metric_device()):
                 m["n_landmarks"] = float(ldmk_valid.sum())
                 # matcher-side metrics: IR @0.04m on the landmark pairs;
-                # NRFMR over the metric-index sample (4DLoMatch) or overlap
-                m["IR"] = float(inlier_ratio(
-                    jnp.array(ldmk_s), jnp.array(ldmk_t),
-                    jnp.array(ldmk_valid),
-                    jnp.array(pair.rot), jnp.array(pair.trans),
-                    jnp.array(ldmk_flow_gt)))
+                # NRFMR over the metric-index sample (4DLoMatch) or overlap.
+                # ir_jit/nrfmr_jit: landmark/match arrays arrive pow2-
+                # bucketed and the metric sample is bucket-padded below, so
+                # each compiles once per bucket (eager was ~46 ms/pair).
+                m["IR"] = float(ir_jit(
+                    ldmk_s, ldmk_t, ldmk_valid, pair.rot, pair.trans,
+                    ldmk_flow_gt))
                 # pre-NeCo IR over the RAW mutual-max match set (reference
                 # outlier_rejection/loss.py:30-60 reports IR before/after
                 # filtering) — with rejection on, IR - IR_pre is NeCo's
@@ -307,20 +324,27 @@ def run_eval(cfg, lcfg: LandmarkConfig, params, scfg: SolverConfig,
                 v6 = np.asarray(data["vec_6d"])
                 v6_mask = np.asarray(data["vec_6d_mask"])
                 m["n_matches_pre"] = float(v6_mask.sum())
-                m["IR_pre"] = float(inlier_ratio(
-                    jnp.array(v6[:, :3]), jnp.array(v6[:, 3:]),
-                    jnp.array(v6_mask),
-                    jnp.array(pair.rot), jnp.array(pair.trans),
-                    jnp.array(interp_flow(v6[:, :3], pair))))
+                m["IR_pre"] = float(ir_jit(
+                    np.ascontiguousarray(v6[:, :3]),
+                    np.ascontiguousarray(v6[:, 3:]), v6_mask,
+                    pair.rot, pair.trans,
+                    interp(np.ascontiguousarray(v6[:, :3]))))
                 if pair.metric_index is not None and len(pair.metric_index):
                     mi = pair.metric_index
                 else:
                     mi = np.nonzero(pair.overlap)[0][:1000]
                 if len(mi):
-                    m["NRFMR"] = float(nrfmr(
-                        jnp.array(ldmk_s), jnp.array(ldmk_t),
-                        jnp.array(ldmk_valid),
-                        jnp.array(pair.src[mi]), jnp.array(pair.flow_gt[mi])))
+                    cap = 1
+                    while cap < len(mi):
+                        cap *= 2
+                    mpts = np.zeros((cap, 3), np.float32)
+                    mflow = np.zeros((cap, 3), np.float32)
+                    mpts[: len(mi)] = pair.src[mi]
+                    mflow[: len(mi)] = pair.flow_gt[mi]
+                    mvalid = np.zeros(cap, bool)
+                    mvalid[: len(mi)] = True
+                    m["NRFMR"] = float(nrfmr_jit(
+                        ldmk_s, ldmk_t, ldmk_valid, mpts, mflow, mvalid))
             if visualize and ldmk_valid.any():
                 # correspondence-line render, NeCo-confidence colored PNG +
                 # GT-inlier colored edge PLY (reference debugging parity:

@@ -28,6 +28,33 @@ def knn_point_np(k: int, reference_pts: np.ndarray, query_pts: np.ndarray):
     return dists, idx
 
 
+class SceneFlowInterp:
+    """Reusable IDW flow interpolator: one anchor cKDTree, many query sets.
+
+    ``blend_scene_flow`` rebuilds the tree per call; the eval harvest
+    interpolates the SAME pair's flow at two query sets (landmarks and raw
+    matches), so sharing the tree halves the per-pair build cost (~19 ms at
+    28k anchors). Semantics identical to ``blend_scene_flow``
+    (reference ``correspondence/datasets/utils.py:42-58``)."""
+
+    def __init__(self, anchor_pts: np.ndarray, anchor_flow: np.ndarray,
+                 knn: int = 3):
+        from scipy.spatial import cKDTree
+
+        self._tree = cKDTree(anchor_pts)
+        self._flow = anchor_flow
+        self._knn = knn
+
+    def __call__(self, query_pts: np.ndarray) -> np.ndarray:
+        dists, idx = self._tree.query(query_pts, k=self._knn)
+        if self._knn == 1:
+            dists, idx = dists[:, None], idx[:, None]
+        dists = np.maximum(dists, 1e-10)
+        w = 1.0 / dists
+        w = w / w.sum(1, keepdims=True)
+        return (self._flow[idx] * w[..., None]).sum(1).astype(np.float32)
+
+
 def mutual_nn_correspondence(src_warped: np.ndarray, tgt: np.ndarray,
                              search_radius: float = 0.3, knn: int = 1) -> np.ndarray:
     """Mutual nearest neighbors within a radius -> [M, 2] (src, tgt) indices.

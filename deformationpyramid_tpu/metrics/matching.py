@@ -27,7 +27,8 @@ def inlier_ratio(ldmk_s: Array, ldmk_t: Array, valid: Array,
 def nrfmr(ldmk_s: Array, ldmk_t: Array, ldmk_valid: Array,
           metric_pts: Array, metric_flow_gt: Array,
           knn: int = 3, recall_thr: float = 0.04,
-          search_radius: float = 0.1) -> Array:
+          search_radius: float = 0.1,
+          metric_valid: Array | None = None) -> Array:
     """Non-rigid feature matching recall over metric points.
 
     ldmk_s/ldmk_t [K, 3] padded matched landmarks; metric_pts [M, 3] GT
@@ -41,6 +42,11 @@ def nrfmr(ldmk_s: Array, ldmk_t: Array, ldmk_valid: Array,
     uniform 1/k (that quirk is load-bearing: ``compute_nrfmr`` ignores the
     returned valid_mask, ``lib/tester.py:66-95``, so out-of-range points
     still count in the recall denominator with the uniform blend).
+
+    ``metric_valid`` [M] (optional) marks padding rows to ignore — it lets
+    callers pad ``metric_pts`` to a shape bucket so a jitted nrfmr compiles
+    once per bucket instead of once per pair (eval-harvest fast path); the
+    recall denominator becomes the count of REAL metric points.
     """
     ldmk_flow = ldmk_t - ldmk_s
     d2 = jnp.sum((metric_pts[:, None] - ldmk_s[None]) ** 2, axis=-1)
@@ -55,5 +61,10 @@ def nrfmr(ldmk_s: Array, ldmk_t: Array, ldmk_valid: Array,
     flow_pred = jnp.sum(ldmk_flow[idx] * w[..., None], axis=1)
     err = jnp.linalg.norm(flow_pred - metric_flow_gt, axis=1)
     any_ldmk = jnp.sum(ldmk_valid) > 0
-    recall = jnp.mean((err < recall_thr).astype(jnp.float32))
+    ok = (err < recall_thr).astype(jnp.float32)
+    if metric_valid is None:
+        recall = jnp.mean(ok)
+    else:
+        mv = metric_valid.astype(jnp.float32)
+        recall = jnp.sum(ok * mv) / jnp.maximum(jnp.sum(mv), 1.0)
     return jnp.where(any_ldmk, recall, 0.0)
