@@ -108,7 +108,8 @@ def visualize_correspondences(ldmk_s: np.ndarray, ldmk_t: np.ndarray,
                c=_COLORS["ldmk_s"])
     ax.scatter(ldmk_t[:, 0], ldmk_t[:, 1], ldmk_t[:, 2], s=1.5,
                c=_COLORS["ldmk_t"])
-    ax.legend(loc="upper right")
+    if src_pcd is not None or tgt_pcd is not None:
+        ax.legend(loc="upper right")
     ax.set_box_aspect((1, 1, 1))
     path = save_path or "correspondences.png"
     fig.savefig(path, dpi=120, bbox_inches="tight")
